@@ -1,0 +1,120 @@
+"""LexicalIndex facade: build / open / search.
+
+The public API mirrors the reference's ``LexicalWrite`` / ``LexicalRead``
+traits (reference: ``core/src/traits.rs:927,1022``): batch ingest that
+publishes an immutable snapshot, and ranked search returning
+``(doc_id, score, rank)`` with raw BM25 scores.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.build import build_index
+from .operators.search import SearchEngine, SearchResult
+from .plans import query as q
+from .sources.storage import IndexStorage
+
+
+class LexicalIndex:
+    """One index directory: build it from a DataFrame, then query it."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self._engine: Optional[SearchEngine] = None
+
+    # ── build ─────────────────────────────────────────────────────────────
+
+    def build(
+        self,
+        df: DataFrame,
+        text_fields: Sequence[str] = ("content", "title"),
+        keyword_fields: Sequence[str] = (),
+        i64_fields: Sequence[str] = (),
+        stored_fields: Sequence[str] = (),
+        sort_cols: Sequence[str] = ("doc_id",),
+        num_segments: Optional[int] = None,
+        num_buckets: int = 16,
+        positions: bool = True,
+    ) -> "LexicalIndex":
+        build_index(
+            self.spark,
+            df,
+            self.index_dir,
+            text_fields=text_fields,
+            keyword_fields=keyword_fields,
+            i64_fields=i64_fields,
+            stored_fields=stored_fields,
+            sort_cols=sort_cols,
+            num_segments=num_segments,
+            num_buckets=num_buckets,
+            positions=positions,
+        )
+        self._engine = None
+        return self
+
+    @classmethod
+    def build_transcripts(
+        cls,
+        spark: SparkSession,
+        transcripts: DataFrame,
+        index_dir: str,
+        num_segments: Optional[int] = None,
+        num_buckets: int = 16,
+    ) -> "LexicalIndex":
+        """Build from the canonical transcript table
+        ``(conv_id, turn_idx, role, text, tool, ts)``.
+
+        One turn == one document; ``doc_id = conv_id || ':' || turn_idx``;
+        global docids follow the stable (conv_id, turn_idx) total order.
+        """
+        df = transcripts.select(
+            F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string")).alias(
+                "doc_id"
+            ),
+            F.col("conv_id"),
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            F.col("role"),
+            F.col("tool"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("text").alias("content"),
+        )
+        index = cls(spark, index_dir)
+        return index.build(
+            df,
+            text_fields=("content",),
+            keyword_fields=("conv_id", "role", "tool"),
+            i64_fields=("turn_idx",),
+            stored_fields=("ts",),
+            sort_cols=("conv_id", "turn_idx"),
+            num_segments=num_segments,
+            num_buckets=num_buckets,
+        )
+
+    # ── read ──────────────────────────────────────────────────────────────
+
+    @property
+    def engine(self) -> SearchEngine:
+        if self._engine is None:
+            self._engine = SearchEngine(self.spark, self.index_dir)
+        return self._engine
+
+    @property
+    def storage(self) -> IndexStorage:
+        return self.engine.storage
+
+    def search(
+        self,
+        query: q.Query | str,
+        limit: int = 10,
+        offset: int = 0,
+        exact_count: bool = False,
+    ) -> SearchResult:
+        return self.engine.search(query, limit=limit, offset=offset, exact_count=exact_count)
+
+    def collect_docids(self, query: q.Query | str) -> list[int]:
+        return self.engine.collect_docids(query)

@@ -1,0 +1,443 @@
+"""Distributed BM25 query execution (exhaustive, rank-exact path).
+
+Query lifecycle (reference: ``index.rs:7249`` search_paginated — §3.1 of the
+survey), re-expressed as one declarative DataFrame plan:
+
+1. **Driver**: parse (lenient) -> canonicalize -> compile to an
+   :class:`~frankensearch_spark.plans.eval.EvalPlan` (leaf specs + f32 eval
+   tree).  Per-leaf BM25 weights are computed driver-side in numpy float32
+   from snapshot stats (N, avgdl, df) — the analogue of TermScorer::new
+   (``argus.rs:1521``).
+2. **Leaf frames**: one broadcast-hash-join of the (tiny) query-term frame
+   against the bucket-pruned postings table; blocks explode to
+   ``(docid, leaf_id, freq, fnid)``; an Arrow-batched pandas UDF computes
+   the exact f32 ``weight * f / (f + tf_cache[fnid])`` per posting.  The
+   denormalized per-posting fieldnorm ids make this join-free beyond the
+   postings themselves.
+3. **Combine**: candidates pivot to one row per docid with one score column
+   per leaf (single shuffle), then the shared f32 tree evaluator
+   (plans/eval.py — the same code the oracle runs) computes matched/score
+   per doc in fixed accumulation order.
+4. **Top-k**: ``ORDER BY score DESC, docid ASC LIMIT k+offset`` — Spark's
+   TakeOrderedAndProject is the distributed analogue of the reference's
+   packed-key collector (``argus.rs:5266``: total order = score desc,
+   docid asc).
+5. **Materialize**: only the k winners join back to the docs table
+   (two-phase materialization, ``argus.rs:5587``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..functions.contract import compute_tf_cache, term_weight
+from ..plans import query as q
+from ..plans.eval import EvalPlan, LeafSpec, compile_query, evaluate_tree, phrase_weight
+from ..sources.storage import IndexStorage
+
+
+@dataclass
+class SearchResult:
+    """Top-k hits as a small pandas frame (docid, doc_id, score, rank)."""
+
+    hits: pd.DataFrame
+    total_count: Optional[int] = None
+
+
+class SearchEngine:
+    """Query executor bound to one index directory (snapshot-pinned stats)."""
+
+    def __init__(self, spark: SparkSession, index_dir: str, schema: Optional[q.Schema] = None):
+        self.spark = spark
+        self.storage = IndexStorage(spark, index_dir)
+        self.meta = self.storage.read_meta()
+        self.schema = schema or _schema_from_meta(self.meta)
+        self.parser = q.DefaultQueryParser(self.schema)
+
+        # snapshot stats: N (total docs) and avgdl per field, from field_stats
+        stats = self.storage.read("field_stats").collect()
+        seg_docs: dict[int, int] = {}
+        tokens: dict[str, int] = {}
+        for r in stats:
+            seg_docs[r["segment_id"]] = r["doc_count"]
+            tokens[r["field"]] = tokens.get(r["field"], 0) + r["total_tokens"]
+        self.doc_count = int(sum(seg_docs.values()))
+        self.avgdl = {
+            f: (tokens.get(f, 0) / self.doc_count if self.doc_count else 0.0)
+            for f in self.meta.text_fields
+        }
+        self.tf_cache = {
+            f: (compute_tf_cache(a) if a > 0 else None) for f, a in self.avgdl.items()
+        }
+
+    # ── public API ────────────────────────────────────────────────────────
+
+    def search(
+        self,
+        query: q.Query | str,
+        limit: int = 10,
+        offset: int = 0,
+        exact_count: bool = False,
+    ) -> SearchResult:
+        tree = self._parse(query)
+        plan = compile_query(q.canonicalize_query(tree))
+        if plan.is_empty:
+            return SearchResult(hits=_empty_hits(), total_count=0 if exact_count else None)
+        scored = self._evaluate(plan)
+        if scored is None:
+            return SearchResult(hits=_empty_hits(), total_count=0 if exact_count else None)
+        total = None
+        if exact_count:
+            scored = scored.persist()
+            total = scored.count()
+        winners = (
+            scored.orderBy(F.desc("score"), F.asc("docid"))
+            .limit(limit + offset)
+            .toPandas()
+        )
+        if exact_count:
+            scored.unpersist()
+        winners = winners.iloc[offset:].reset_index(drop=True)
+        hits = self._materialize(winners)
+        return SearchResult(hits=hits, total_count=total)
+
+    def collect_docids(self, query: q.Query | str) -> list[int]:
+        """Scoreless sorted unique docid set (reference: argus.rs:5510)."""
+        tree = self._parse(query)
+        plan = compile_query(q.canonicalize_query(tree))
+        if plan.is_empty:
+            return []
+        scored = self._evaluate(plan)
+        if scored is None:
+            return []
+        return [r["docid"] for r in scored.select("docid").orderBy("docid").collect()]
+
+    # ── internals ─────────────────────────────────────────────────────────
+
+    def _parse(self, query: q.Query | str):
+        if isinstance(query, str):
+            return self.parser.parse_lenient(query).query
+        return query
+
+    def _evaluate(self, plan: EvalPlan) -> Optional[DataFrame]:
+        """Return DataFrame (docid long, score float32) of matching docs."""
+        frames = []
+        term_leaves = [l for l in plan.leaves if l.kind == "term" and self._is_text(l.field)]
+        if term_leaves:
+            frames.append(self._term_leaf_frame(term_leaves))
+        for leaf in plan.leaves:
+            if leaf.kind == "phrase":
+                f = self._phrase_leaf_frame(leaf)
+                if f is not None:
+                    frames.append(f)
+            elif leaf.kind in ("range", "set", "all") or (
+                leaf.kind == "term" and not self._is_text(leaf.field)
+            ):
+                frames.append(self._docs_leaf_frame(leaf))
+        frames = [f for f in frames if f is not None]
+        if not frames:
+            return None
+        cand = frames[0]
+        for f in frames[1:]:
+            cand = cand.unionByName(f)
+        leaf_ids = [l.leaf_id for l in plan.leaves]
+        pivoted = cand.groupBy("docid").pivot("leaf_id", leaf_ids).agg(F.first("score"))
+        spec = plan.spec
+        n_leaves = len(leaf_ids)
+        out_schema = StructType(
+            [
+                StructField("docid", LongType(), False),
+                StructField("score", FloatType(), False),
+            ]
+        )
+        col_names = [str(i) for i in leaf_ids]
+
+        def eval_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                matched_cols = {}
+                score_cols = {}
+                for lid, cname in zip(leaf_ids, col_names):
+                    col = pdf[cname]
+                    m = col.notna().to_numpy()
+                    s = col.fillna(0.0).to_numpy(dtype=np.float32)
+                    matched_cols[lid] = m
+                    score_cols[lid] = s
+                matched, score = evaluate_tree(
+                    spec,
+                    lambda i: matched_cols[i],
+                    lambda i: score_cols[i],
+                    n,
+                )
+                out = pd.DataFrame(
+                    {
+                        "docid": pdf["docid"].to_numpy()[matched],
+                        "score": score[matched],
+                    }
+                )
+                yield out
+
+        return pivoted.mapInPandas(eval_batches, schema=out_schema)
+
+    def _is_text(self, field: str) -> bool:
+        return field in self.meta.text_fields
+
+    def _doc_freqs(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+        """Dictionary probe: broadcast-join the query terms against terms/."""
+        if not pairs:
+            return {}
+        buckets = sorted({_bucket(t, self.meta.num_buckets) for _, t in pairs})
+        terms = self.storage.read("terms").where(F.col("bucket").isin(buckets))
+        cond = F.lit(False)
+        for field, term in pairs:
+            cond = cond | ((F.col("field") == field) & (F.col("term") == term))
+        rows = terms.where(cond).select("field", "term", "df").collect()
+        return {(r["field"], r["term"]): int(r["df"]) for r in rows}
+
+    def _term_leaf_frame(self, leaves: list[LeafSpec]) -> Optional[DataFrame]:
+        pairs = sorted({(l.field, l.term) for l in leaves})
+        dfs = self._doc_freqs(pairs)
+        rows = []
+        for leaf in leaves:
+            df_ = dfs.get((leaf.field, leaf.term), 0)
+            if df_ == 0:
+                continue
+            weight = float(term_weight(df_, self.doc_count, leaf.boost))
+            rows.append(
+                (leaf.leaf_id, leaf.field, leaf.term, weight, _bucket(leaf.term, self.meta.num_buckets))
+            )
+        if not rows:
+            return None
+        qterms = self.spark.createDataFrame(
+            rows, "leaf_id int, field string, term string, weight float, bucket int"
+        )
+        buckets = sorted({r[4] for r in rows})
+        postings = self.storage.read("postings").where(F.col("bucket").isin(buckets))
+        joined = postings.join(
+            F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
+        )
+        exploded = joined.select(
+            "leaf_id",
+            "field",
+            "weight",
+            F.explode(F.arrays_zip("docids", "freqs", "fnids")).alias("e"),
+        ).select(
+            "leaf_id",
+            "field",
+            "weight",
+            F.col("e.docids").alias("docid"),
+            F.col("e.freqs").alias("freq"),
+            F.col("e.fnids").alias("fnid"),
+        )
+        return self._score_rows(exploded)
+
+    def _score_rows(self, rows: DataFrame) -> DataFrame:
+        """(leaf_id, field, weight, docid, freq, fnid) -> (docid, leaf_id, score)."""
+        caches = {f: c for f, c in self.tf_cache.items() if c is not None}
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(FloatType())
+        def bm25_score(
+            field: pd.Series, freq: pd.Series, fnid: pd.Series, weight: pd.Series
+        ) -> pd.Series:
+            f = freq.to_numpy(dtype=np.float32)
+            ids = fnid.to_numpy(dtype=np.int64)
+            w = weight.to_numpy(dtype=np.float32)
+            out = np.zeros(len(f), dtype=np.float32)
+            fields = field.to_numpy()
+            for name, cache in caches.items():
+                mask = fields == name
+                if not mask.any():
+                    continue
+                norms = cache[ids[mask]]
+                ff = f[mask]
+                out[mask] = (w[mask] * (ff / (ff + norms))).astype(np.float32)
+            return pd.Series(out)
+
+        return rows.select(
+            "docid",
+            "leaf_id",
+            bm25_score("field", "freq", "fnid", "weight").alias("score"),
+        )
+
+    def _phrase_leaf_frame(self, leaf: LeafSpec) -> Optional[DataFrame]:
+        if not self._is_text(leaf.field) or not self.meta.positions:
+            return None
+        terms = [t for _, t in leaf.terms]
+        offsets = [p for p, _ in leaf.terms]
+        pairs = [(leaf.field, t) for t in terms]
+        dfs = self._doc_freqs(sorted(set(pairs)))
+        if any(dfs.get(p, 0) == 0 for p in pairs):
+            return None  # a missing term can never phrase-match
+        weight = float(
+            phrase_weight([dfs[p] for p in pairs], self.doc_count, leaf.boost)
+        )
+        n_terms = len(terms)
+        qrows = [
+            (i, leaf.field, t, int(off), _bucket(t, self.meta.num_buckets))
+            for i, (t, off) in enumerate(zip(terms, offsets))
+        ]
+        qterms = self.spark.createDataFrame(
+            qrows, "ord int, field string, term string, off int, bucket int"
+        )
+        buckets = sorted({r[4] for r in qrows})
+        postings = self.storage.read("postings").where(F.col("bucket").isin(buckets))
+        rows = (
+            postings.join(F.broadcast(qterms), on=["field", "term", "bucket"], how="inner")
+            .select(
+                "ord",
+                "off",
+                F.explode(F.arrays_zip("docids", "fnids", "positions")).alias("e"),
+            )
+            .select(
+                "ord",
+                "off",
+                F.col("e.docids").alias("docid"),
+                F.col("e.fnids").alias("fnid"),
+                F.col("e.positions").alias("positions"),
+            )
+        )
+        cache = self.tf_cache[leaf.field]
+        leaf_id = leaf.leaf_id
+        slop = leaf.slop
+        out_schema = StructType(
+            [
+                StructField("docid", LongType(), False),
+                StructField("leaf_id", IntegerType(), False),
+                StructField("score", FloatType(), False),
+            ]
+        )
+
+        def check_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            results = []
+            for docid, grp in pdf.groupby("docid"):
+                # duplicate ords are possible when one term repeats in the
+                # phrase; all ords 0..n_terms-1 must be present
+                if grp["ord"].nunique() != n_terms:
+                    continue
+                sets = []
+                for ord_i in range(n_terms):
+                    sub = grp[grp["ord"] == ord_i].iloc[0]
+                    base = np.asarray(sub["positions"], dtype=np.int64) - int(sub["off"])
+                    sets.append(set(base.tolist()))
+                starts = set.intersection(*sets) if slop == 0 else _slop_starts(sets, slop)
+                occurrences = len(starts)
+                if occurrences == 0:
+                    continue
+                fnid = int(grp["fnid"].iloc[0])
+                f32 = np.float32(occurrences)
+                norm = cache[fnid]
+                score = np.float32(np.float32(weight) * (f32 / (f32 + norm)))
+                results.append((int(docid), leaf_id, float(score)))
+            return pd.DataFrame(results, columns=["docid", "leaf_id", "score"])
+
+        return rows.groupBy("docid").applyInPandas(check_group, schema=out_schema)
+
+    def _docs_leaf_frame(self, leaf: LeafSpec) -> Optional[DataFrame]:
+        docs = self.storage.read("docs")
+        if leaf.kind == "all":
+            cond = F.lit(True)
+        elif leaf.kind == "term":
+            if leaf.field not in docs.columns and leaf.field != "id":
+                return None
+            col = F.col("doc_id" if leaf.field == "id" else leaf.field)
+            cond = col == F.lit(leaf.term)
+        elif leaf.kind == "set":
+            if leaf.field not in docs.columns and leaf.field != "id":
+                return None
+            col = F.col("doc_id" if leaf.field == "id" else leaf.field)
+            cond = col.isin(list(leaf.values))
+        else:  # range
+            name = "doc_id" if leaf.field == "id" else leaf.field
+            if name not in docs.columns:
+                return None
+            col = F.col(name)
+            cond = F.lit(True)
+            if leaf.lower is not None:
+                cond = cond & (
+                    (col >= leaf.lower) if leaf.lower_inclusive else (col > leaf.lower)
+                )
+            if leaf.upper is not None:
+                cond = cond & (
+                    (col <= leaf.upper) if leaf.upper_inclusive else (col < leaf.upper)
+                )
+        return docs.where(cond).select(
+            "docid",
+            F.lit(leaf.leaf_id).alias("leaf_id"),
+            F.lit(1.0).cast("float").alias("score"),
+        )
+
+    def _materialize(self, winners: pd.DataFrame) -> pd.DataFrame:
+        """Join the k winners back to docs for doc_id hydration."""
+        if winners.empty:
+            return _empty_hits()
+        docids = [int(d) for d in winners["docid"]]
+        docs = (
+            self.storage.read("docs")
+            .where(F.col("docid").isin(docids))
+            .select("docid", "doc_id")
+            .toPandas()
+        )
+        merged = winners.merge(docs, on="docid", how="left")
+        merged["rank"] = range(1, len(merged) + 1)
+        return merged[["docid", "doc_id", "score", "rank"]]
+
+
+def _slop_starts(sets: list[set], slop: int) -> set:
+    """Naive slop>0 phrase match (rarely used; slop 0 is the shipped path)."""
+    starts = set()
+    for s in sets[0]:
+        ok = True
+        prev = s
+        for other in sets[1:]:
+            cands = [p for p in other if prev <= p <= prev + slop + 1]
+            if not cands:
+                ok = False
+                break
+            prev = min(cands)
+        if ok:
+            starts.add(s)
+    return starts
+
+
+def _bucket(term: str, num_buckets: int) -> int:
+    """Driver-side mirror of the build's pmod(crc32(term), B) bucketing.
+
+    zlib.crc32 over UTF-8 bytes is bit-identical to Spark's ``crc32``
+    builtin, so the driver can compute which postings/terms partition
+    directories a query term lives in and prune the scan to them.
+    """
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % num_buckets
+
+
+def _empty_hits() -> pd.DataFrame:
+    return pd.DataFrame(columns=["docid", "doc_id", "score", "rank"])
+
+
+def _schema_from_meta(meta) -> q.Schema:
+    fields = [q.SchemaField("id", q.FieldType.KEYWORD)]
+    for f in meta.text_fields:
+        fields.append(q.SchemaField(f, q.FieldType.TEXT))
+    for f in meta.keyword_fields:
+        fields.append(q.SchemaField(f, q.FieldType.KEYWORD))
+    for f in meta.i64_fields:
+        fields.append(q.SchemaField(f, q.FieldType.I64))
+    return q.Schema(name="index", fields=tuple(fields))

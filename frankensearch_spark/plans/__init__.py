@@ -1,0 +1,1 @@
+"""frankensearch_spark: PySpark-native BM25 lexical search engine."""

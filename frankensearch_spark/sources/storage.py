@@ -1,0 +1,104 @@
+"""Index storage layout: partitioned Parquet tables + a build manifest.
+
+The reference persists its index as immutable FSLX segment files published
+through a two-slot atomic MANIFEST (reference: ``quill/src/segment.rs``,
+``keeper.rs:1567``).  The Spark-native equivalent is a set of columnar
+tables under one index directory, with an explicit ``build_manifest`` table
+carrying per-segment lineage (docid ranges, status, metrics) so builds are
+resumable at segment granularity and queries can pin a generation.
+
+Layout (all Parquet; the same layout maps 1:1 onto Iceberg tables when an
+Iceberg catalog is configured — the manifest table then complements Iceberg
+snapshots with per-partition lineage):
+
+    <index_dir>/
+      docs/               docid, doc_id, segment_id, stored fields...
+      doclens/            docid, segment_id, len_<f>, fnid_<f> per text field
+      postings/           segment_id=K/bucket=B/  (term-bucketed, block rows)
+      terms/              bucket=B/ field, term, df, cf
+      field_stats/        segment_id, field, doc_count, total_tokens,
+                          docid_lo, docid_hi
+      manifest/           generation, segment_id, docid_lo, docid_hi,
+                          doc_count, status, built_at
+      index_meta.json     schema + config (buckets, fields, generation)
+
+Postings are directory-partitioned by ``bucket = pmod(xxhash64(term), B)``
+so a query touching a handful of terms prunes to a handful of directories
+regardless of corpus size; ``segment_id`` partitioning gives resumable,
+idempotent per-segment rewrites (the analogue of bulk-load publish cadence,
+reference ``config.rs:26``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+
+INDEX_META = "index_meta.json"
+
+
+@dataclass
+class IndexMeta:
+    text_fields: list[str]
+    keyword_fields: list[str] = dc_field(default_factory=list)
+    i64_fields: list[str] = dc_field(default_factory=list)
+    stored_fields: list[str] = dc_field(default_factory=list)
+    num_buckets: int = 16
+    generation: int = 1
+    positions: bool = True
+    created_at: float = 0.0
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=1, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "IndexMeta":
+        data = json.loads(text)
+        return cls(**{k: v for k, v in data.items() if k in cls.__dataclass_fields__})
+
+
+class IndexStorage:
+    """Path-based table access for one index directory."""
+
+    TABLES = ("docs", "doclens", "postings", "terms", "field_stats", "manifest")
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.index_dir, table)
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.index_dir, INDEX_META))
+
+    def write_meta(self, meta: IndexMeta) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        meta.created_at = meta.created_at or time.time()
+        tmp = os.path.join(self.index_dir, INDEX_META + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(meta.to_json())
+        # atomic publish, the two-slot MANIFEST analogue
+        final = os.path.join(self.index_dir, INDEX_META)
+        if os.path.exists(final):
+            os.replace(final, final + ".prev")
+        os.replace(tmp, final)
+
+    def read_meta(self) -> IndexMeta:
+        with open(os.path.join(self.index_dir, INDEX_META)) as fh:
+            return IndexMeta.from_json(fh.read())
+
+    def sealed_segments(self) -> set[int]:
+        """Segments already committed by a previous (partial) build."""
+        manifest_path = self.path("manifest")
+        if not os.path.exists(manifest_path):
+            return set()
+        rows = self.spark.read.parquet(manifest_path).where("status = 'sealed'")
+        return {r["segment_id"] for r in rows.select("segment_id").collect()}

@@ -1,0 +1,109 @@
+"""End-to-end: Spark engine must be rank- AND score-identical to the oracle
+on the reference corpus and query set."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from frankensearch_spark.index import LexicalIndex
+from frankensearch_spark.oracle import OracleIndex
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus_fixture, tmp_path_factory):
+    docs = corpus_fixture if isinstance(corpus_fixture, list) else corpus_fixture["documents"]
+    index_dir = str(tmp_path_factory.mktemp("corpus_index"))
+    rows = [
+        {
+            "doc_id": d["doc_id"],
+            "content": d["content"],
+            "title": d.get("title", ""),
+            "created_at": d.get("created_at", ""),
+            "doc_type": d.get("doc_type", ""),
+        }
+        for d in docs
+    ]
+    df = spark.createDataFrame(rows)
+    index = LexicalIndex(spark, index_dir).build(
+        df,
+        text_fields=("content", "title"),
+        keyword_fields=("doc_type",),
+        stored_fields=("content", "title"),
+        sort_cols=("doc_id",),
+        num_segments=4,
+        num_buckets=8,
+    )
+    oracle = OracleIndex(docs)
+    return index, oracle
+
+
+def _compare(index, oracle, query, k=10):
+    engine_hits = index.search(query, limit=k).hits
+    oracle_hits = oracle.search(query, limit=k)
+    got = [(h.docid if hasattr(h, "docid") else None) for h in oracle_hits]
+    assert list(engine_hits["docid"]) == [h.docid for h in oracle_hits], (
+        f"rank mismatch for {query!r}:\n"
+        f"  engine={list(zip(engine_hits['doc_id'], engine_hits['score']))}\n"
+        f"  oracle={[(h.doc_id, h.score) for h in oracle_hits]}"
+    )
+    eng_scores = np.asarray(engine_hits["score"], dtype=np.float32)
+    ora_scores = np.asarray([h.score for h in oracle_hits], dtype=np.float32)
+    assert np.array_equal(eng_scores, ora_scores), (
+        f"score mismatch for {query!r}: {eng_scores} vs {ora_scores}"
+    )
+
+
+def test_reference_query_set_rank_identical(built, queries_fixture):
+    index, oracle = built
+    for case in queries_fixture:
+        _compare(index, oracle, case["query"])
+
+
+def test_phrase_query(built):
+    index, oracle = built
+    _compare(index, oracle, '"error handling"')
+
+
+def test_boolean_queries(built):
+    index, oracle = built
+    for query in [
+        "rust AND ownership",
+        "rust OR cooking",
+        "rust -ownership",
+        "rust AND NOT borrowing",
+        "+rust +async",
+        "rust OR ownership AND borrowing",
+        "(rust OR ownership)^2 cooking",
+        "title:rust^3 content:async",
+    ]:
+        _compare(index, oracle, query)
+
+
+def test_exact_count(built):
+    index, oracle = built
+    res = index.search("rust ownership borrowing", limit=5, exact_count=True)
+    assert res.total_count == oracle.count("rust ownership borrowing")
+
+
+def test_offset_pagination(built):
+    index, oracle = built
+    full = index.search("rust ownership borrowing", limit=10).hits
+    page2 = index.search("rust ownership borrowing", limit=5, offset=5).hits
+    assert list(page2["docid"]) == list(full["docid"][5:10])
+
+
+def test_collect_docids(built):
+    index, oracle = built
+    got = index.collect_docids("rust")
+    arrays = None
+    # oracle equivalent: matched docids sorted
+    hits = oracle.search("rust", limit=10_000)
+    exp = sorted(h.docid for h in hits)
+    assert got == exp
+
+
+def test_known_miss_control(built):
+    index, oracle = built
+    res = index.search("zzzznonexistenttermzzzz", limit=10)
+    assert res.hits.empty
