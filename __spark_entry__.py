@@ -1,38 +1,241 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship BM25 top-k through the real engine at
+sf0.001.  ``queries()`` exposes one entry per implemented operator family
+(BM25 search, index structures, training-data ops); ``oracle_sql()`` gives
+the DuckDB-equivalent SQL — the BM25 oracles replicate the engine's
+float32 scoring bit-exactly via CAST-to-REAL arithmetic (see
+``frankensearch_spark/sources/duckdb_oracle.py``).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from frankensearch_spark.index import LexicalIndex  # noqa: E402
+from frankensearch_spark.operators import simsearch, textops  # noqa: E402
+from frankensearch_spark.sources import duckdb_oracle as dsql  # noqa: E402
+
+_CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".entry_cache")
+_INDEXES: dict[str, LexicalIndex] = {}
+
+#: probe terms for dictionary queries (all present in the synthetic corpus)
+PROBE_TERMS = ["spark", "merge", "sort", "window", "table", "agg", "scan", "query"]
+FLAGSHIP_QUERY = "spark merge sort window"
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("text"),
+    )
+
+
+def _index(spark: SparkSession, sf_dir: str) -> LexicalIndex:
+    key = os.path.abspath(sf_dir)
+    if key in _INDEXES:
+        return _INDEXES[key]
+    index_dir = os.path.join(_CACHE_ROOT, os.path.basename(key.rstrip("/")) + "_index")
+    idx = LexicalIndex(spark, index_dir)
+    if not idx.engine_exists():
+        df = _documents(spark, sf_dir).withColumnRenamed("text", "content")
+        idx.build(
+            df,
+            text_fields=("content",),
+            stored_fields=("content",),
+            sort_cols=("doc_id",),
+            num_segments=4,
+            num_buckets=8,
+        )
+    _INDEXES[key] = idx
+    return idx
+
+
+def _hits_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
+    hits = _index(spark, sf_dir).search(query, limit=k).hits
+    pdf = hits[["doc_id", "score", "rank"]].copy()
+    pdf["rank"] = pdf["rank"].astype("int32")
+    return spark.createDataFrame(pdf, schema="doc_id string, score float, rank int")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 through the full engine at sf0.001."""
+    return _hits_df(spark, "/root/testdata/sf0.001", FLAGSHIP_QUERY)
+
+
+# ── engine-side query implementations ───────────────────────────────────────
+
+
+def _q_bm25_single(spark, sf_dir):
+    return _hits_df(spark, sf_dir, "spark")
+
+
+def _q_bm25_multi(spark, sf_dir):
+    return _hits_df(spark, sf_dir, FLAGSHIP_QUERY)
+
+
+def _q_bm25_and(spark, sf_dir):
+    return _hits_df(spark, sf_dir, "spark AND merge")
+
+
+def _q_bm25_not(spark, sf_dir):
+    return _hits_df(spark, sf_dir, "spark -merge")
+
+
+def _q_bm25_phrase(spark, sf_dir):
+    return _hits_df(spark, sf_dir, '"value table"')
+
+
+def _q_bm25_count(spark, sf_dir):
+    res = _index(spark, sf_dir).search("spark merge", limit=1, exact_count=True)
+    return spark.createDataFrame([(int(res.total_count),)], "n_matches bigint")
+
+
+def _q_docid_assignment(spark, sf_dir):
+    storage = _index(spark, sf_dir).storage
+    return storage.read("docs").select(
+        F.col("docid").cast("long").alias("docid"), "doc_id"
+    )
+
+
+def _q_doclens(spark, sf_dir):
+    storage = _index(spark, sf_dir).storage
+    doclens = storage.read("doclens")
+    docs = storage.read("docs").select("docid", "doc_id")
+    return doclens.join(docs, "docid").select(
+        "doc_id",
+        F.col("len_content").cast("int").alias("doclen"),
+        F.col("fnid_content").cast("int").alias("fnid"),
+    )
+
+
+def _q_term_dictionary(spark, sf_dir):
+    storage = _index(spark, sf_dir).storage
+    return (
+        storage.read("terms")
+        .where(F.col("term").isin(PROBE_TERMS))
+        .select("term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf"))
+    )
+
+
+def _q_top_terms(spark, sf_dir):
+    storage = _index(spark, sf_dir).storage
+    return (
+        storage.read("terms")
+        .select("term", F.col("df").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def _q_field_stats(spark, sf_dir):
+    storage = _index(spark, sf_dir).storage
+    return (
+        storage.read("field_stats")
+        .groupBy("field")
+        .agg(
+            F.sum("doc_count").cast("long").alias("doc_count"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return textops.dedup_exact(_documents(spark, sf_dir))
+
+
+def _q_token_counts(spark, sf_dir):
+    return textops.token_counts(_documents(spark, sf_dir))
+
+
+def _q_langid(spark, sf_dir):
+    return textops.langid_stopword(_documents(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return textops.quality_signals(_documents(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return textops.doc_fingerprint(_documents(spark, sf_dir))
+
+
+def _query_vec(sf_dir: str) -> list[float]:
+    import duckdb
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    row = duckdb.sql(f"SELECT embedding FROM '{path}' WHERE vec_id = 0").fetchone()
+    return [float(v) for v in row[0]]
+
+
+def _q_embedding_cosine(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return simsearch.cosine_topk(emb, _query_vec(sf_dir), k=10)
+
+
+def _q_events_rollup(spark, sf_dir):
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return textops.events_hourly_rollup(events)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_top10_single_term": _q_bm25_single,
+        "bm25_top10_multi_term": _q_bm25_multi,
+        "bm25_top10_boolean_and": _q_bm25_and,
+        "bm25_top10_boolean_not": _q_bm25_not,
+        "bm25_top10_phrase": _q_bm25_phrase,
+        "bm25_match_count": _q_bm25_count,
+        "docid_assignment": _q_docid_assignment,
+        "doclens_fieldnorms": _q_doclens,
+        "term_dictionary": _q_term_dictionary,
+        "top_terms_by_df": _q_top_terms,
+        "field_stats": _q_field_stats,
+        "dedup_exact": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        "langid_stopword": _q_langid,
+        "quality_signals": _q_quality,
+        "doc_fingerprint": _q_fingerprint,
+        "embedding_cosine_top10": _q_embedding_cosine,
+        "events_hourly_rollup": _q_events_rollup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {
+        "bm25_top10_single_term": dsql.bm25_topk_sql(should=["spark"]),
+        "bm25_top10_multi_term": dsql.bm25_topk_sql(
+            should=["spark", "merge", "sort", "window"]
+        ),
+        "bm25_top10_boolean_and": dsql.bm25_topk_sql(should=[], must=["spark", "merge"]),
+        "bm25_top10_boolean_not": dsql.bm25_topk_sql(
+            should=["spark"], must_not=["merge"]
+        ),
+        "bm25_top10_phrase": dsql.bm25_phrase_sql(["value", "table"]),
+        "bm25_match_count": dsql.bm25_count_sql(["spark", "merge"]),
+        "docid_assignment": dsql.docid_assignment_sql(),
+        "doclens_fieldnorms": dsql.doclens_fieldnorms_sql(),
+        "term_dictionary": dsql.term_dictionary_sql(PROBE_TERMS),
+        "top_terms_by_df": dsql.top_terms_sql(20),
+        "field_stats": dsql.field_stats_sql(),
+        "dedup_exact": dsql.dedup_exact_sql(),
+        "token_counts": dsql.token_counts_sql(),
+        "langid_stopword": dsql.langid_stopword_sql(textops.EN_STOPWORDS),
+        "quality_signals": dsql.quality_signals_sql(),
+        "doc_fingerprint": dsql.doc_fingerprint_sql(),
+        "events_hourly_rollup": dsql.events_hourly_rollup_sql(),
+    }
+    try:
+        out["embedding_cosine_top10"] = dsql.embedding_cosine_topk_sql(
+            _query_vec("/root/testdata/sf0.01")
+        )
+    except Exception:
+        pass  # embeddings unavailable -> rows-only check for this query
+    return out

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Per-round benchmark: index-build throughput + BM25 query latency.
+
+Builds the lexical index over (a) the driver-provided documents corpus at
+``$SPARK_GRAFT_SF_DIR`` and (b) a deterministic synthetic transcript table
+scaled to the same sf, then times the headline BM25 queries.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "turns_per_sec": ..., "docs_per_sec": ..., "query_p50_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from frankensearch_spark.index import LexicalIndex  # noqa: E402
+from frankensearch_spark.session import get_spark  # noqa: E402
+from frankensearch_spark.sources.transcripts import synthetic_transcripts  # noqa: E402
+
+QUERIES = [
+    ("single_term", "w3"),
+    ("rare_term", "w9100"),
+    ("multi_term_or", "w3 w47 w200 w1150"),
+    ("boolean_and", "w12 AND w47"),
+    ("boolean_not", "w3 -w47"),
+    ("phrase", '"w3 w3"'),
+    ("identifier_phrase", "pol-358"),
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_turns = max(10_000, int(1_000_000 * sf))
+
+    spark = get_spark(app_name="frankensearch-bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="fs_bench_")
+    queries: dict[str, float] = {}
+    t_start = time.time()
+    try:
+        # ── transcript index build (the north-rule metric) ────────────────
+        transcripts = synthetic_transcripts(spark, n_turns)
+        t0 = time.time()
+        index = LexicalIndex.build_transcripts(
+            spark,
+            transcripts,
+            os.path.join(work, "transcripts_index"),
+            num_segments=max(8, cpus),
+            num_buckets=16,
+        )
+        build_sec = time.time() - t0
+        queries["index_build_transcripts"] = round(build_sec, 3)
+        turns_per_sec = n_turns / build_sec
+
+        # warm the engine (stats load + parser) outside the per-query timings
+        index.search("w3", limit=10)
+
+        latencies = []
+        for name, qstr in QUERIES:
+            t0 = time.time()
+            index.search(qstr, limit=10)
+            dt = time.time() - t0
+            queries[name] = round(dt, 4)
+            latencies.append(dt)
+
+        # ── documents corpus build (driver-provided data) ─────────────────
+        docs_path = os.path.join(sf_dir, "documents.parquet")
+        docs_per_sec = None
+        if os.path.exists(docs_path):
+            docs = spark.read.parquet(docs_path).select(
+                F.col("doc_id").cast("string").alias("doc_id"),
+                F.col("text").alias("content"),
+            )
+            n_docs = docs.count()
+            t0 = time.time()
+            LexicalIndex(spark, os.path.join(work, "docs_index")).build(
+                docs,
+                text_fields=("content",),
+                sort_cols=("doc_id",),
+                num_segments=8,
+                num_buckets=8,
+            )
+            dt = time.time() - t0
+            queries["index_build_documents"] = round(dt, 3)
+            docs_per_sec = n_docs / dt
+
+        total = time.time() - t_start
+        out = {
+            "metric": "transcript index build + BM25 top-10 latency",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "n_turns": n_turns,
+            "turns_per_sec": round(turns_per_sec, 1),
+            "docs_per_sec": round(docs_per_sec, 1) if docs_per_sec else None,
+            "query_p50_sec": round(statistics.median(latencies), 4),
+            "cpus": cpus,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -118,15 +118,21 @@ def idf(doc_freq: int, doc_count: int) -> np.float32:
     """Tantivy-compatible BM25 idf in float32.
 
     ``ratio = ((N - n) as f32 + 0.5) / (n as f32 + 0.5); ln(1 + ratio)``
-    computed with plain ``ln`` (NOT ln_1p) in float32, matching the pinned
-    operation order of the oracle.
+    computed with plain ``ln`` (NOT ln_1p), matching the pinned operation
+    order of the oracle.  The logarithm itself is evaluated in f64 and
+    rounded once to f32: that equals the correctly-rounded ``logf`` used by
+    the reference's libm (numpy's vectorized float32 log is a SIMD
+    polynomial that differs in the last ulp ~25% of the time, so it must
+    NOT be used here).
     """
+    import math
+
     if doc_count < doc_freq:
         raise ValueError(f"doc_count {doc_count} < doc_freq {doc_freq}")
     ratio = (np.float32(doc_count - doc_freq) + np.float32(0.5)) / (
         np.float32(doc_freq) + np.float32(0.5)
     )
-    return np.log(np.float32(1.0) + ratio, dtype=np.float32)
+    return np.float32(math.log(float(np.float32(1.0) + ratio)))
 
 
 def cached_tf_component(fieldnorm: int | np.ndarray, average_fieldnorm: float) -> np.float32:

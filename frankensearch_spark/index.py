@@ -97,6 +97,10 @@ class LexicalIndex:
 
     # ── read ──────────────────────────────────────────────────────────────
 
+    def engine_exists(self) -> bool:
+        """Whether a committed index already exists at this directory."""
+        return IndexStorage(self.spark, self.index_dir).exists()
+
     @property
     def engine(self) -> SearchEngine:
         if self._engine is None:

@@ -1,0 +1,399 @@
+"""DuckDB oracle-SQL generators for the driver correctness gate.
+
+These produce ANSI-ish SQL (DuckDB dialect) that reproduces the engine's
+results over the pre-registered testdata views (``documents``,
+``embeddings``, ``events``).  The BM25 oracles replicate the float32
+scoring contract **bit-exactly**: every arithmetic step is wrapped in
+``CAST(... AS REAL)``, which DuckDB evaluates as genuine IEEE float32 ops,
+and the logarithm is f64-``ln`` rounded once to f32 — the same
+correctly-rounded ``logf`` semantics the engine pins (see
+``functions/contract.py::idf``).
+
+The corpus convention mirrors the engine's entry usage: one document per
+row, ``doc_id = CAST(doc_id AS VARCHAR)``, docids assigned in doc_id
+string order, tokens = lowercase split on non-alphanumeric (the testdata
+corpus is verified pure ``[a-z0-9 ]``, where this equals the full
+Unicode analyzer).
+"""
+
+from __future__ import annotations
+
+from ..functions.contract import FIELD_NORMS_TABLE
+
+_FN_VALUES = ",".join(f"({int(v)})" for v in FIELD_NORMS_TABLE)
+_FN_ID_VALUES = ",".join(f"({i},{int(v)})" for i, v in enumerate(FIELD_NORMS_TABLE))
+
+
+def _f32(expr: str) -> str:
+    return f"CAST(({expr}) AS REAL)"
+
+
+def _r(lit: str) -> str:
+    return f"CAST({lit} AS REAL)"
+
+
+#: f32 BM25 term weight from (stats.n, dfs.df):  idf * (1 + k1), boost 1.0
+_WEIGHT_SQL = _f32(
+    _f32(
+        "ln("
+        + _f32(
+            _r("1.0")
+            + " + "
+            + _f32(
+                _f32(_r("stats.n - dfs.df") + " + " + _r("0.5"))
+                + " / "
+                + _f32(_r("dfs.df") + " + " + _r("0.5"))
+            )
+        )
+        + ")"
+    )
+    + " * "
+    + _f32(_r("1.0") + " + " + _r("1.2"))
+)
+
+#: f32 BM25 norm from (doclens.decoded, stats.avgdl):
+#: k1 * ((1 - b) + (b * decoded) / avgdl)
+_NORM_SQL = _f32(
+    _r("1.2")
+    + " * "
+    + _f32(
+        _f32(_r("1.0") + " - " + _r("0.75"))
+        + " + "
+        + _f32(
+            _f32(_r("0.75") + " * " + _r("doclens.decoded"))
+            + " / "
+            + _r("stats.avgdl")
+        )
+    )
+)
+
+#: f32 term score from (f.freq, n.norm, w.w)
+_TERM_SCORE_SQL = _f32(
+    "w.w * " + _f32(_r("f.freq") + " / " + _f32(_r("f.freq") + " + n.norm"))
+)
+
+
+def _base_ctes(extra_terms_filter: str = "") -> str:
+    """Shared CTE prelude: docs/tokens/doclens/stats/freqs/dfs/weights/norms."""
+    return f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+  FROM documents
+),
+fieldnorms(v) AS (VALUES {_FN_VALUES}),
+doclens AS (
+  SELECT doc_id, len(tokens) AS doclen,
+         (SELECT max(v) FROM fieldnorms WHERE v <= len(tokens)) AS decoded
+  FROM docs
+),
+stats AS (SELECT count(*) AS n, CAST(sum(doclen) AS DOUBLE)/count(*) AS avgdl FROM doclens),
+freqs AS (
+  SELECT doc_id, term, count(*) AS freq
+  FROM (SELECT doc_id, unnest(tokens) AS term FROM docs)
+  {extra_terms_filter}
+  GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*) AS df FROM freqs GROUP BY term),
+weights AS (SELECT term, {_WEIGHT_SQL} AS w FROM dfs, stats),
+norms AS (SELECT doc_id, {_NORM_SQL} AS norm FROM doclens, stats),
+term_scores AS (
+  SELECT f.doc_id, f.term, {_TERM_SCORE_SQL} AS score
+  FROM freqs f JOIN weights w USING (term) JOIN norms n ON n.doc_id = f.doc_id
+)"""
+
+
+def _term_filter(terms: list[str]) -> str:
+    vals = ",".join(f"('{t}')" for t in terms)
+    return f"WHERE term IN (SELECT t FROM (VALUES {vals}) q(t))"
+
+
+def _f32_sum(cols: list[str]) -> str:
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = _f32(acc + " + " + c)
+    return acc
+
+
+def bm25_topk_sql(
+    should: list[str],
+    must: list[str] = (),
+    must_not: list[str] = (),
+    k: int = 10,
+) -> str:
+    """Top-k BM25 over the default lenient semantics.
+
+    Matching: all ``must`` terms AND (any ``should`` if no must, else
+    should optional) AND no ``must_not``; score = f32 ordered sum of the
+    must scores then the should scores (parse order).
+    """
+    should, must, must_not = list(should), list(must), list(must_not)
+    all_terms = list(dict.fromkeys([*must, *should, *must_not]))
+    scored = [*must, *should]
+    joins, score_cols, idx = [], [], 0
+    alias_of = {}
+    for t in dict.fromkeys([*scored, *must_not]):
+        alias = f"s{idx}"
+        alias_of[t] = alias
+        joins.append(
+            f"LEFT JOIN term_scores {alias} ON {alias}.doc_id = d.doc_id AND {alias}.term = '{t}'"
+        )
+        idx += 1
+    for t in scored:
+        score_cols.append(f"COALESCE({alias_of[t]}.score, {_r('0.0')})")
+    conds = []
+    for t in must:
+        conds.append(f"{alias_of[t]}.score IS NOT NULL")
+    if should and not must:
+        conds.append(
+            "(" + " OR ".join(f"{alias_of[t]}.score IS NOT NULL" for t in should) + ")"
+        )
+    for t in must_not:
+        conds.append(f"{alias_of[t]}.score IS NULL")
+    where = " AND ".join(conds) if conds else "TRUE"
+    return f"""{_base_ctes(_term_filter(all_terms))}
+SELECT d.doc_id, {_f32_sum(score_cols)} AS score,
+       CAST(row_number() OVER (ORDER BY {_f32_sum(score_cols)} DESC, d.doc_id ASC) AS INT) AS rank
+FROM (SELECT doc_id FROM docs) d
+{chr(10).join(joins)}
+WHERE {where}
+ORDER BY score DESC, d.doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_count_sql(should: list[str]) -> str:
+    """Exact match count for a Should-of-terms query."""
+    vals = ",".join(f"('{t}')" for t in should)
+    return f"""{_base_ctes(_term_filter(list(should)))}
+SELECT count(DISTINCT doc_id) AS n_matches FROM term_scores
+WHERE term IN (SELECT t FROM (VALUES {vals}) q(t))
+"""
+
+
+def bm25_phrase_sql(terms: list[str], k: int = 10) -> str:
+    """Top-k for an adjacent-position phrase (slop 0).
+
+    tf = phrase occurrence count; weight = f32 left-to-right sum of the
+    member-term idfs, * (1+k1); norm as usual.
+    """
+    n = len(terms)
+    adjacency = " AND ".join(
+        f"tokens[i+{j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    # f32 left-to-right idf accumulation over phrase terms
+    idf_of = (
+        lambda alias: _f32(
+            "ln("
+            + _f32(
+                _r("1.0")
+                + " + "
+                + _f32(
+                    _f32(_r(f"stats.n - {alias}.df") + " + " + _r("0.5"))
+                    + " / "
+                    + _f32(_r(f"{alias}.df") + " + " + _r("0.5"))
+                )
+            )
+            + ")"
+        )
+    )
+    acc = idf_of("d0")
+    for i in range(1, n):
+        acc = _f32(acc + " + " + idf_of(f"d{i}"))
+    weight = _f32(acc + " * " + _f32(_r("1.0") + " + " + _r("1.2")))
+    df_joins = "\n".join(
+        f"JOIN (SELECT df FROM dfs WHERE term = '{t}') d{i} ON TRUE" for i, t in enumerate(terms)
+    )
+    score = _f32(
+        "pw.w * "
+        + _f32(_r("p.occurrences") + " / " + _f32(_r("p.occurrences") + " + n.norm"))
+    )
+    return f"""{_base_ctes(_term_filter(list(dict.fromkeys(terms))))}
+, phrase_freqs AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(tokens) - {n - 2}), i -> {adjacency})) AS occurrences
+  FROM docs
+),
+phrase_weight AS (
+  SELECT {weight} AS w FROM stats
+  {df_joins}
+)
+SELECT p.doc_id AS doc_id, {score} AS score,
+       CAST(row_number() OVER (ORDER BY {score} DESC, p.doc_id ASC) AS INT) AS rank
+FROM phrase_freqs p JOIN norms n ON n.doc_id = p.doc_id, phrase_weight pw
+WHERE p.occurrences > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+# ── index-structure oracles ────────────────────────────────────────────────
+
+
+def docid_assignment_sql() -> str:
+    return """
+SELECT CAST(row_number() OVER (ORDER BY CAST(doc_id AS VARCHAR) ASC) - 1 AS BIGINT) AS docid,
+       CAST(doc_id AS VARCHAR) AS doc_id
+FROM documents
+"""
+
+
+def doclens_fieldnorms_sql() -> str:
+    return f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+  FROM documents
+),
+fieldnorms(i, v) AS (VALUES {_FN_ID_VALUES})
+SELECT doc_id, CAST(len(tokens) AS INT) AS doclen,
+       CAST((SELECT max(i) FROM fieldnorms WHERE v <= len(tokens)) AS INT) AS fnid
+FROM docs
+"""
+
+
+def term_dictionary_sql(terms: list[str]) -> str:
+    vals = ",".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+  ) AS term
+  FROM documents
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, CAST(count(*) AS BIGINT) AS cf
+FROM toks WHERE term IN (SELECT t FROM (VALUES {vals}) q(t))
+GROUP BY term
+"""
+
+
+def top_terms_sql(k: int = 20) -> str:
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+  ) AS term
+  FROM documents
+)
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT {k}
+"""
+
+
+def field_stats_sql() -> str:
+    return """
+WITH docs AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+  FROM documents
+)
+SELECT 'content' AS field, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(len(tokens)) AS BIGINT) AS total_tokens
+FROM docs
+"""
+
+
+# ── training-data op oracles ───────────────────────────────────────────────
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       (row_number() OVER (PARTITION BY text ORDER BY CAST(doc_id AS VARCHAR)) > 1) AS is_duplicate
+FROM documents
+"""
+
+
+def token_counts_sql() -> str:
+    return """
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+  FROM documents
+)
+SELECT doc_id, CAST(len(tokens) AS INT) AS n_tokens,
+       CAST(len(list_distinct(tokens)) AS INT) AS n_unique
+FROM docs
+"""
+
+
+def langid_stopword_sql(stopwords: tuple[str, ...]) -> str:
+    vals = ",".join(f"'{s}'" for s in stopwords)
+    return f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN len(tokens) > 0
+       THEN round(CAST(len(list_filter(tokens, x -> x IN ({vals}))) AS DOUBLE)
+                  / CAST(len(tokens) AS DOUBLE), 6)
+       ELSE 0.0 END AS stop_ratio,
+  CASE WHEN len(tokens) > 0
+       THEN round(CAST(len(list_filter(tokens, x -> x IN ({vals}))) AS DOUBLE)
+                  / CAST(len(tokens) AS DOUBLE), 6) >= 0.05
+       ELSE FALSE END AS is_en
+FROM docs
+"""
+
+
+def quality_signals_sql() -> str:
+    return """
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+  FROM documents
+)
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars, CAST(len(tokens) AS INT) AS n_tokens,
+  CASE WHEN len(tokens) > 0
+       THEN round(CAST(list_sum(list_transform(tokens, x -> length(x))) AS DOUBLE)
+                  / CAST(len(tokens) AS DOUBLE), 6)
+       ELSE 0.0 END AS avg_token_len
+FROM docs
+"""
+
+
+def doc_fingerprint_sql() -> str:
+    return """
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+  FROM documents
+)
+SELECT doc_id, md5(array_to_string(tokens, ' ')) AS fingerprint
+FROM docs
+"""
+
+
+def embedding_cosine_topk_sql(query_vec: list[float], k: int = 10) -> str:
+    dim = len(query_vec)
+    qlits = ",".join(repr(float(v)) for v in query_vec)
+    qnorm = sum(float(v) * float(v) for v in query_vec) ** 0.5
+    return f"""
+WITH scored AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, {dim + 1}),
+             i -> CAST(embedding[i] AS DOUBLE) * ([{qlits}])[i])) AS dot,
+    sqrt(list_sum(list_transform(range(1, {dim + 1}),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS dn
+  FROM embeddings
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(CASE WHEN dn > 0 THEN dot / (dn * {qnorm!r}) ELSE 0.0 END, 6) AS cosine
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+def events_hourly_rollup_sql() -> str:
+    return """
+SELECT event_type,
+       CAST(floor(CAST(epoch(ts) AS DOUBLE) / 3600) * 3600 AS BIGINT) AS hour_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""

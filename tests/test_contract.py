@@ -35,10 +35,12 @@ def test_bm25_constants(contract_fixture):
 
 
 def test_idf_is_f32_plain_ln():
-    # idf(1, 1) = ln(1 + 0.5/1.5) in f32
-    expected = np.log(np.float32(1.0) + np.float32(0.5) / np.float32(1.5), dtype=np.float32)
-    assert c.idf(1, 1) == expected
-    assert c.idf(0, 0) == np.log(np.float32(2.0), dtype=np.float32)
+    import math
+
+    # idf(1, 1) = f32(ln(f64(1 + 0.5/1.5))) — correctly-rounded logf semantics
+    arg = np.float32(1.0) + np.float32(0.5) / np.float32(1.5)
+    assert c.idf(1, 1) == np.float32(math.log(float(arg)))
+    assert c.idf(0, 0) == np.float32(math.log(2.0))
 
 
 def test_avgdl_uses_raw_statistics(contract_fixture):
