@@ -120,5 +120,21 @@ class LexicalIndex:
     ) -> SearchResult:
         return self.engine.search(query, limit=limit, offset=offset, exact_count=exact_count)
 
+    def search_with_snippets(
+        self,
+        query: q.Query | str,
+        limit: int = 10,
+        offset: int = 0,
+        snippet_field: str = "content",
+        max_chars: int = 200,
+    ) -> SearchResult:
+        return self.engine.search_with_snippets(
+            query,
+            limit=limit,
+            offset=offset,
+            snippet_field=snippet_field,
+            max_chars=max_chars,
+        )
+
     def collect_docids(self, query: q.Query | str) -> list[int]:
         return self.engine.collect_docids(query)

@@ -44,6 +44,8 @@ from pyspark.sql.types import (
 )
 
 from ..functions.contract import compute_tf_cache, term_weight
+from ..functions.snippet import SnippetGenerator
+from ..plans import glob
 from ..plans import query as q
 from ..plans.eval import EvalPlan, LeafSpec, compile_query, evaluate_tree, phrase_weight
 from ..sources.storage import IndexStorage
@@ -114,6 +116,61 @@ class SearchEngine:
         hits = self._materialize(winners)
         return SearchResult(hits=hits, total_count=total)
 
+    def search_with_snippets(
+        self,
+        query: q.Query | str,
+        limit: int = 10,
+        offset: int = 0,
+        snippet_field: str = "content",
+        max_chars: int = 200,
+    ) -> SearchResult:
+        """Ranked search plus a highlighted snippet per winner.
+
+        Snippet semantics follow the reference kernel (snippet.rs): query
+        terms for ``snippet_field`` weighted ``1/(1+df)``, best ≤200-byte
+        token-aligned window, HTML-escaped with ``<b>`` tags.  Snippets are
+        generated driver-side over the k winners only (reference
+        ``index.rs:8414`` search_with_snippets does the same post-collection).
+        """
+        tree = self._parse(query)
+        canonical = q.canonicalize_query(tree)
+        result = self.search(canonical, limit=limit, offset=offset)
+        hits = result.hits
+        if hits.empty:
+            hits = hits.assign(snippet=pd.Series(dtype=object))
+            return SearchResult(hits=hits, total_count=result.total_count)
+        # collect the analyzed query terms targeting the snippet field
+        plan = compile_query(canonical)
+        terms: set[str] = set()
+        for leaf in plan.leaves:
+            if leaf.field != snippet_field:
+                continue
+            if leaf.kind == "term":
+                terms.add(leaf.term)
+            elif leaf.kind == "phrase":
+                terms.update(t for _, t in leaf.terms)
+            elif leaf.kind == "glob":
+                terms.update(self.expand_glob(leaf.field, leaf.pattern))
+        dfs = self._doc_freqs([(snippet_field, t) for t in sorted(terms)])
+        generator = SnippetGenerator(
+            {t: dfs.get((snippet_field, t), 0) for t in terms}, max_chars=max_chars
+        )
+        docs = self.storage.read("docs")
+        if snippet_field not in docs.columns:
+            hits = hits.assign(snippet=None)
+            return SearchResult(hits=hits, total_count=result.total_count)
+        docids = [int(d) for d in hits["docid"]]
+        stored = (
+            docs.where(F.col("docid").isin(docids))
+            .select("docid", snippet_field)
+            .toPandas()
+        )
+        text_of = dict(zip(stored["docid"], stored[snippet_field]))
+        hits = hits.assign(
+            snippet=[generator.snippet(str(text_of.get(d) or "")) for d in docids]
+        )
+        return SearchResult(hits=hits, total_count=result.total_count)
+
     def collect_docids(self, query: q.Query | str) -> list[int]:
         """Scoreless sorted unique docid set (reference: argus.rs:5510)."""
         tree = self._parse(query)
@@ -141,6 +198,10 @@ class SearchEngine:
         for leaf in plan.leaves:
             if leaf.kind == "phrase":
                 f = self._phrase_leaf_frame(leaf)
+                if f is not None:
+                    frames.append(f)
+            elif leaf.kind == "glob":
+                f = self._glob_leaf_frame(leaf)
                 if f is not None:
                     frames.append(f)
             elif leaf.kind in ("range", "set", "all") or (
@@ -348,6 +409,79 @@ class SearchEngine:
             return pd.DataFrame(results, columns=["docid", "leaf_id", "score"])
 
         return rows.groupBy("docid").applyInPandas(check_group, schema=out_schema)
+
+    def expand_glob(self, field: str, pattern: str) -> list[str]:
+        """Deterministic dictionary expansion of one glob pattern.
+
+        Mirrors the reference's per-field dictionary scan
+        (``index.rs`` snapshot_glob_terms): prefix patterns prune to a
+        dictionary range scan (here: a pushed-down ``startswith`` filter over
+        the terms table), other classes scan the field's dictionary; the
+        result is the first :data:`~frankensearch_spark.plans.glob.
+        DEFAULT_GLOB_EXPANSION_LIMIT` matches in ascending term order.
+        """
+        kind, core = glob.classify(pattern)
+        if kind == glob.EXACT:
+            cond = F.col("term") == core
+        elif kind == glob.PREFIX:
+            cond = F.col("term").startswith(core)
+        elif kind == glob.SUFFIX:
+            cond = F.col("term").endswith(core)
+        elif kind == glob.SUBSTRING:
+            cond = F.col("term").contains(core)
+        else:
+            cond = F.col("term").rlike(glob.to_regex(core))
+        rows = (
+            self.storage.read("terms")
+            .where((F.col("field") == field) & cond)
+            .select("term")
+            .orderBy("term")
+            .limit(glob.DEFAULT_GLOB_EXPANSION_LIMIT)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def _glob_leaf_frame(self, leaf: LeafSpec) -> Optional[DataFrame]:
+        """Const-score doc set for one (field, pattern) glob leaf."""
+        if not self._is_text(leaf.field):
+            # keyword-field glob: match the stored column values directly
+            docs = self.storage.read("docs")
+            name = "doc_id" if leaf.field == "id" else leaf.field
+            if name not in docs.columns:
+                return None
+            kind, core = glob.classify(leaf.pattern)
+            if kind == glob.EXACT:
+                cond = F.col(name) == core
+            elif kind == glob.PREFIX:
+                cond = F.col(name).startswith(core)
+            elif kind == glob.SUFFIX:
+                cond = F.col(name).endswith(core)
+            elif kind == glob.SUBSTRING:
+                cond = F.col(name).contains(core)
+            else:
+                cond = F.col(name).rlike(glob.to_regex(core))
+            return docs.where(cond).select(
+                "docid",
+                F.lit(leaf.leaf_id).alias("leaf_id"),
+                F.lit(1.0).cast("float").alias("score"),
+            )
+        terms = self.expand_glob(leaf.field, leaf.pattern)
+        if not terms:
+            return None
+        buckets = sorted({_bucket(t, self.meta.num_buckets) for t in terms})
+        postings = self.storage.read("postings").where(F.col("bucket").isin(buckets))
+        matched = (
+            postings.where(
+                (F.col("field") == leaf.field) & F.col("term").isin(terms)
+            )
+            .select(F.explode("docids").alias("docid"))
+            .distinct()
+        )
+        return matched.select(
+            "docid",
+            F.lit(leaf.leaf_id).alias("leaf_id"),
+            F.lit(1.0).cast("float").alias("score"),
+        )
 
     def _docs_leaf_frame(self, leaf: LeafSpec) -> Optional[DataFrame]:
         docs = self.storage.read("docs")

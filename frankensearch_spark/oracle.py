@@ -22,6 +22,7 @@ import numpy as np
 
 from .functions.analyze import analyze_positional
 from .functions.contract import compute_tf_cache, fieldnorm_to_id, term_weight
+from .plans import glob
 from .plans import query as q
 from .plans.eval import EvalPlan, compile_query, evaluate_tree, phrase_weight
 
@@ -144,6 +145,23 @@ class OracleIndex:
             return matched, score
         if leaf.kind == "phrase":
             return self._phrase_leaf(leaf)
+        if leaf.kind == "glob":
+            # Deterministic dictionary expansion (term asc, capped), then a
+            # const-score union of the matching terms' doc sets.
+            if leaf.field in self.text_fields:
+                terms = sorted(
+                    t for (f, t) in self.postings.keys() if f == leaf.field
+                )
+                for term in glob.expand(terms, leaf.pattern):
+                    matched[self.postings[(leaf.field, term)]["docids"]] = True
+            else:
+                col = self.columns.get(leaf.field)
+                if col is not None:
+                    for docid, value in enumerate(col):
+                        if value is not None and glob.matches(leaf.pattern, str(value)):
+                            matched[docid] = True
+            score[matched] = np.float32(1.0)
+            return matched, score
         if leaf.kind in ("range", "set"):
             col = self.columns.get(leaf.field)
             if col is None and leaf.field in self.text_fields:

@@ -43,9 +43,10 @@ class LeafSpec:
     """One candidate-producing leaf the engine must materialize."""
 
     leaf_id: int
-    kind: str  # "term" | "phrase" | "all" | "range" | "set"
+    kind: str  # "term" | "phrase" | "all" | "range" | "set" | "glob"
     field: str = ""
     term: str = ""  # for kind=="term"
+    pattern: str = ""  # for kind=="glob": raw wildcard pattern
     terms: tuple[tuple[int, str], ...] = ()  # for kind=="phrase": (position, text)
     slop: int = 0
     boost: float = 1.0
@@ -143,7 +144,17 @@ def compile_query(tree: q.Query) -> EvalPlan:
                 return None
             return {"t": "boost", "f": float(node.factor), "ch": child}
         if isinstance(node, q.Glob):
-            raise NotImplementedError("glob queries require dictionary expansion")
+            # One const-score leaf per field: matched = any dictionary term
+            # matching the pattern occurs in the doc; score = 1.0 (the
+            # reference's constant_score over an unscored term union —
+            # index.rs lower_leaf_glob / lower_leaf_string_predicate).
+            children = [
+                leaf({"kind": "glob", "field": f, "pattern": node.pattern})
+                for f in node.fields
+            ]
+            if len(children) == 1:
+                return children[0]
+            return {"t": "union", "ch": children}
         raise TypeError(f"unsupported query node {node!r}")
 
     plan.spec = walk(tree)

@@ -640,6 +640,20 @@ class _Parser:
             if not raw:
                 return None, None, None
             key = ("atom", atom.field, raw, atom.quote, atom.slop, atom.prefix)
+            if (
+                atom.kind == "bare"
+                and kind in (FieldType.TEXT, FieldType.KEYWORD)
+                and (atom.prefix or "*" in raw)
+            ):
+                # Wildcard atom -> Glob over the target fields, lowered later
+                # against the term dictionary (const-score semantics).
+                pattern = (raw + "*" if atom.prefix else raw).lower()
+                node = Glob(fields=tuple(t.name for t in targets), pattern=pattern)
+                key = ("glob", tuple(t.name for t in targets), pattern)
+                if atom.boost is not None:
+                    node = Boost(node, atom.boost)
+                    key = ("boost", key, atom.boost)
+                return occur, node, key
             if kind is FieldType.KEYWORD:
                 node = Term(fields=tuple(targets), text=raw)
             elif kind is FieldType.TEXT:

@@ -103,6 +103,40 @@ def test_collect_docids(built):
     assert got == exp
 
 
+def test_glob_queries(built):
+    index, oracle = built
+    for query in [
+        "rust*",
+        "*ing",
+        "*own*",
+        "bor*ing",
+        "title:rust*",
+        "rust* AND ownership",
+        "own* -cooking",
+    ]:
+        _compare(index, oracle, query)
+
+
+def test_glob_const_score_semantics(built):
+    """Glob hits carry constant (non-BM25) scores: 1.0 per matching field."""
+    index, _ = built
+    hits = index.search("zzznomatch* OR rust*", limit=5).hits
+    assert not hits.empty
+    assert all(s in (1.0, 2.0) for s in hits["score"])
+
+
+def test_snippets_on_corpus(built):
+    index, _ = built
+    res = index.search_with_snippets("rust ownership", limit=5)
+    assert "snippet" in res.hits.columns
+    assert len(res.hits) == 5
+    # every winner matched content or title; content matches must highlight
+    snips = list(res.hits["snippet"])
+    assert any(s is not None for s in snips)
+    for snip in snips:
+        assert snip is None or "<b>" in snip
+
+
 def test_known_miss_control(built):
     index, oracle = built
     res = index.search("zzzznonexistenttermzzzz", limit=10)
