@@ -117,8 +117,11 @@ class LexicalIndex:
         limit: int = 10,
         offset: int = 0,
         exact_count: bool = False,
+        prune: bool = False,
     ) -> SearchResult:
-        return self.engine.search(query, limit=limit, offset=offset, exact_count=exact_count)
+        return self.engine.search(
+            query, limit=limit, offset=offset, exact_count=exact_count, prune=prune
+        )
 
     def search_with_snippets(
         self,

@@ -84,6 +84,8 @@ class SearchEngine:
         self.tf_cache = {
             f: (compute_tf_cache(a) if a > 0 else None) for f, a in self.avgdl.items()
         }
+        #: (field, term) -> doc_freq resolved this session (dictionary probes)
+        self._doc_freq_cache: dict[tuple[str, str], int] = {}
 
     # ── public API ────────────────────────────────────────────────────────
 
@@ -93,12 +95,20 @@ class SearchEngine:
         limit: int = 10,
         offset: int = 0,
         exact_count: bool = False,
+        prune: bool = False,
     ) -> SearchResult:
         tree = self._parse(query)
         plan = compile_query(q.canonicalize_query(tree))
         if plan.is_empty:
             return SearchResult(hits=_empty_hits(), total_count=0 if exact_count else None)
-        scored = self._evaluate(plan)
+        scored = None
+        if prune and not exact_count:
+            from .pruned import PrunedExecutor, pruned_applicable
+
+            if pruned_applicable(plan):
+                scored = PrunedExecutor(self).execute(plan, limit + offset)
+        if scored is None:
+            scored = self._evaluate(plan)
         if scored is None:
             return SearchResult(hits=_empty_hits(), total_count=0 if exact_count else None)
         total = None
@@ -214,6 +224,10 @@ class SearchEngine:
         cand = frames[0]
         for f in frames[1:]:
             cand = cand.unionByName(f)
+        return self._combine(plan, cand)
+
+    def _combine(self, plan: EvalPlan, cand: DataFrame) -> DataFrame:
+        """Pivot (docid, leaf_id, score) rows and run the shared f32 eval tree."""
         leaf_ids = [l.leaf_id for l in plan.leaves]
         pivoted = cand.groupBy("docid").pivot("leaf_id", leaf_ids).agg(F.first("score"))
         spec = plan.spec
@@ -268,31 +282,54 @@ class SearchEngine:
         for field, term in pairs:
             cond = cond | ((F.col("field") == field) & (F.col("term") == term))
         rows = terms.where(cond).select("field", "term", "df").collect()
-        return {(r["field"], r["term"]): int(r["df"]) for r in rows}
+        out = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+        self._doc_freq_cache.update(out)
+        for pair in pairs:
+            self._doc_freq_cache.setdefault(pair, 0)
+        return out
 
-    def _term_leaf_frame(self, leaves: list[LeafSpec]) -> Optional[DataFrame]:
-        pairs = sorted({(l.field, l.term) for l in leaves})
-        dfs = self._doc_freqs(pairs)
+    def _resolve_doc_freqs(self, leaves: list[LeafSpec]) -> None:
+        """Ensure the df cache covers every text-term leaf (one probe)."""
+        pairs = sorted(
+            {
+                (l.field, l.term)
+                for l in leaves
+                if l.kind == "term" and self._is_text(l.field)
+            }
+            - set(self._doc_freq_cache)
+        )
+        if pairs:
+            self._doc_freqs(pairs)
+
+    def _term_weight_rows(self, leaves: list[LeafSpec]) -> list[tuple]:
+        """(leaf_id, field, term, weight, bucket) for leaves with df > 0."""
+        self._resolve_doc_freqs(leaves)
         rows = []
         for leaf in leaves:
-            df_ = dfs.get((leaf.field, leaf.term), 0)
+            df_ = self._doc_freq_cache.get((leaf.field, leaf.term), 0)
             if df_ == 0:
                 continue
             weight = float(term_weight(df_, self.doc_count, leaf.boost))
             rows.append(
-                (leaf.leaf_id, leaf.field, leaf.term, weight, _bucket(leaf.term, self.meta.num_buckets))
+                (
+                    leaf.leaf_id,
+                    leaf.field,
+                    leaf.term,
+                    weight,
+                    _bucket(leaf.term, self.meta.num_buckets),
+                )
             )
-        if not rows:
-            return None
+        return rows
+
+    def _exploded_postings(self, rows: list[tuple], postings: DataFrame) -> DataFrame:
+        """Join query-term rows against postings and explode to per-doc rows."""
         qterms = self.spark.createDataFrame(
             rows, "leaf_id int, field string, term string, weight float, bucket int"
         )
-        buckets = sorted({r[4] for r in rows})
-        postings = self.storage.read("postings").where(F.col("bucket").isin(buckets))
         joined = postings.join(
             F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
         )
-        exploded = joined.select(
+        return joined.select(
             "leaf_id",
             "field",
             "weight",
@@ -305,7 +342,44 @@ class SearchEngine:
             F.col("e.freqs").alias("freq"),
             F.col("e.fnids").alias("fnid"),
         )
+
+    def _score_block_subset(
+        self, leaves: list[LeafSpec], block_keys: DataFrame
+    ) -> Optional[DataFrame]:
+        """Exact f32 scores for only the posting blocks named in
+        ``block_keys (leaf_id, field, term, segment_id, block_id)``."""
+        rows = self._term_weight_rows(leaves)
+        if not rows:
+            return None
+        buckets = sorted({r[4] for r in rows})
+        postings = self.storage.read("postings").where(F.col("bucket").isin(buckets))
+        subset = postings.join(
+            block_keys, on=["field", "term", "segment_id", "block_id"], how="leftsemi"
+        )
+        return self._score_rows(self._exploded_postings(rows, subset))
+
+    def _score_leaf_rows_for_docids(
+        self, leaves: list[LeafSpec], candidates: DataFrame
+    ) -> Optional[DataFrame]:
+        """Exact f32 scores for the given leaves restricted to candidate
+        docids (the non-essential-leaf lane of the pruned plan)."""
+        rows = self._term_weight_rows(leaves)
+        if not rows:
+            return None
+        buckets = sorted({r[4] for r in rows})
+        postings = self.storage.read("postings").where(F.col("bucket").isin(buckets))
+        exploded = self._exploded_postings(rows, postings).join(
+            candidates, on="docid", how="leftsemi"
+        )
         return self._score_rows(exploded)
+
+    def _term_leaf_frame(self, leaves: list[LeafSpec]) -> Optional[DataFrame]:
+        rows = self._term_weight_rows(leaves)
+        if not rows:
+            return None
+        buckets = sorted({r[4] for r in rows})
+        postings = self.storage.read("postings").where(F.col("bucket").isin(buckets))
+        return self._score_rows(self._exploded_postings(rows, postings))
 
     def _score_rows(self, rows: DataFrame) -> DataFrame:
         """(leaf_id, field, weight, docid, freq, fnid) -> (docid, leaf_id, score)."""
