@@ -117,11 +117,16 @@ def _q_doclens(spark, sf_dir):
 
 
 def _q_term_dictionary(spark, sf_dir):
+    # dictionary rows are per-segment; snapshot df/cf = sum over segments
     storage = _index(spark, sf_dir).storage
     return (
         storage.read("terms")
         .where(F.col("term").isin(PROBE_TERMS))
-        .select("term", F.col("df").cast("long").alias("df"), F.col("cf").cast("long").alias("cf"))
+        .groupBy("term")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("cf").cast("long").alias("cf"),
+        )
     )
 
 
@@ -129,7 +134,8 @@ def _q_top_terms(spark, sf_dir):
     storage = _index(spark, sf_dir).storage
     return (
         storage.read("terms")
-        .select("term", F.col("df").cast("long").alias("df"))
+        .groupBy("term")
+        .agg(F.sum("df").cast("long").alias("df"))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(20)
     )

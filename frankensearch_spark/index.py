@@ -101,6 +101,29 @@ class LexicalIndex:
         """Whether a committed index already exists at this directory."""
         return IndexStorage(self.spark, self.index_dir).exists()
 
+    def reopen(self) -> "LexicalIndex":
+        """Drop the pinned snapshot; the next query sees the latest
+        manifest generation (the Arc-swap re-load analogue)."""
+        self._engine = None
+        return self
+
+    @property
+    def maintenance(self):
+        """Upsert / delete / compact / merge / GC surface (new instance per
+        call so it always sees the current manifest generation)."""
+        from .operators.maintenance import IndexMaintenance
+
+        return IndexMaintenance(self.spark, self.index_dir)
+
+    def upsert(self, df: DataFrame, sort_cols: Sequence[str] = ("doc_id",)) -> "LexicalIndex":
+        self.maintenance.upsert(df, sort_cols=sort_cols)
+        return self.reopen()
+
+    def delete(self, doc_ids: Sequence[str]) -> int:
+        n = self.maintenance.delete(doc_ids)
+        self.reopen()
+        return n
+
     @property
     def engine(self) -> SearchEngine:
         if self._engine is None:

@@ -87,21 +87,72 @@ def build_index(
     if num_segments is None:
         num_segments = max(4, min(spark.sparkContext.defaultParallelism, 64))
 
+    # Fresh build: clear any prior generation so dynamic partition
+    # overwrite cannot leave stale segment directories behind.
+    storage.clear_tables()
+
+    append_segment_batch(
+        spark,
+        df,
+        storage,
+        meta,
+        sort_cols=list(sort_cols),
+        num_segments=num_segments,
+        docid_base=0,
+        segment_base=0,
+        mode="overwrite",
+    )
+    storage.write_meta(meta)
+    return storage
+
+
+def append_segment_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    storage: IndexStorage,
+    meta: IndexMeta,
+    sort_cols: list[str],
+    num_segments: int,
+    docid_base: int,
+    segment_base: int,
+    mode: str = "append",
+) -> list[int]:
+    """Tokenize + index one batch of documents as ``num_segments`` new
+    segments starting at ``segment_base`` with docids from ``docid_base``.
+
+    All table writes are append-only (except the initial ``overwrite``
+    build); visibility is controlled by the manifest rows written last —
+    the analogue of the reference's seal-then-publish commit protocol
+    (``index.rs:6054``).  Returns the new segment ids.
+    """
     ranged, analyzed = _assign_docids_and_tokenize(
-        spark, df, meta, sort_cols=list(sort_cols), num_segments=num_segments
+        spark,
+        df,
+        meta,
+        sort_cols=sort_cols,
+        num_segments=num_segments,
+        docid_base=docid_base,
+        segment_base=segment_base,
     )
     analyzed.persist()
     try:
         analyzed.count()  # materialize once; later stages reuse the cache
         ranged.unpersist()
-        _write_docs(analyzed, storage, meta)
-        _write_doclens(analyzed, storage, meta)
-        _write_postings_and_terms(analyzed, storage, meta)
-        _write_stats_and_manifest(analyzed, storage, meta)
-        storage.write_meta(meta)
+        write_segment_tables(analyzed, storage, meta, mode=mode)
     finally:
         analyzed.unpersist()
-    return storage
+    return list(range(segment_base, segment_base + num_segments))
+
+
+def write_segment_tables(
+    analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta, mode: str
+) -> None:
+    """Write docs/doclens/postings/terms/field_stats/manifest for the
+    analyzed frame (docid+segment assigned, token arrays per text field)."""
+    _write_docs(analyzed, storage, meta, mode)
+    _write_doclens(analyzed, storage, meta, mode)
+    _write_postings_and_terms(analyzed, storage, meta, mode)
+    _write_stats_and_manifest(analyzed, storage, meta, mode)
 
 
 # ── step 1+2: docid assignment + tokenization ──────────────────────────────
@@ -113,6 +164,8 @@ def _assign_docids_and_tokenize(
     meta: IndexMeta,
     sort_cols: list[str],
     num_segments: int,
+    docid_base: int = 0,
+    segment_base: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     passthrough = _passthrough_columns(df, meta)
     select_cols = ["doc_id", *passthrough, *[f for f in meta.text_fields if f in df.columns]]
@@ -132,7 +185,7 @@ def _assign_docids_and_tokenize(
     )
     count_map = {r["pid"]: r["count"] for r in counts}
     bases: dict[int, int] = {}
-    running = 0
+    running = docid_base
     for pid in range(num_segments):
         bases[pid] = running
         running += count_map.get(pid, 0)
@@ -156,12 +209,12 @@ def _assign_docids_and_tokenize(
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        offset = bases.get(pid, 0)
+        offset = bases.get(pid, docid_base)
         for pdf in batches:
             n = len(pdf)
             out = pd.DataFrame()
             out["docid"] = range(offset, offset + n)
-            out["segment_id"] = pid
+            out["segment_id"] = segment_base + pid
             out["doc_id"] = pdf["doc_id"].astype(str).values
             for name in passthrough:
                 out[name] = pdf[name].values
@@ -188,7 +241,9 @@ def _passthrough_columns(df: DataFrame, meta: IndexMeta) -> list[str]:
 # ── step 3: tables ──────────────────────────────────────────────────────────
 
 
-def _write_docs(analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta) -> None:
+def _write_docs(
+    analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta, mode: str
+) -> None:
     passthrough = [
         c
         for c in analyzed.columns
@@ -198,16 +253,20 @@ def _write_docs(analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta) -> 
     stored_text = [f for f in meta.text_fields if f in meta.stored_fields]
     cols = [*passthrough, *[f for f in stored_text if f in analyzed.columns]]
     # analyzed partitions ARE disjoint docid ranges (one per segment), so an
-    # in-partition sort yields a globally range-partitioned docs table.
+    # in-partition sort yields a globally range-partitioned docs table;
+    # segment_id directory partitioning gives segment-granular GC + pruning.
     (
         analyzed.select(*dict.fromkeys(cols))
         .sortWithinPartitions("docid")
-        .write.mode("overwrite")
+        .write.mode(mode)
+        .partitionBy("segment_id")
         .parquet(storage.path("docs"))
     )
 
 
-def _write_doclens(analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta) -> None:
+def _write_doclens(
+    analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta, mode: str
+) -> None:
     cols = [F.col("docid"), F.col("segment_id")]
     for f in meta.text_fields:
         cols.append(F.col(f"len_{f}"))
@@ -215,7 +274,8 @@ def _write_doclens(analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta) 
     (
         analyzed.select(*cols)
         .sortWithinPartitions("docid")
-        .write.mode("overwrite")
+        .write.mode(mode)
+        .partitionBy("segment_id")
         .parquet(storage.path("doclens"))
     )
 
@@ -240,7 +300,7 @@ def _token_frame(analyzed: DataFrame, meta: IndexMeta) -> DataFrame:
 
 
 def _write_postings_and_terms(
-    analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta
+    analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta, mode: str
 ) -> None:
     tokens = _token_frame(analyzed, meta)
     per_doc = tokens.groupBy("segment_id", "field", "term", "docid").agg(
@@ -281,14 +341,21 @@ def _write_postings_and_terms(
         F.expr("array_min(transform(entries, e -> e.fnid))").cast("int").alias("min_fnid"),
     )
     (
-        postings.write.mode("overwrite")
+        postings.write.mode(mode)
         .partitionBy("segment_id", "bucket")
         .parquet(storage.path("postings"))
     )
 
+    # Per-segment dictionary rows: the snapshot df/cf of a term is the sum
+    # over live segments at probe time, so dictionary maintenance is
+    # append-only too (no global rewrite per commit — SURVEY §2.7).
+    new_segments = [
+        r["segment_id"] for r in analyzed.select("segment_id").distinct().collect()
+    ]
     terms = (
         storage.read("postings")
-        .groupBy("field", "term")
+        .where(F.col("segment_id").isin(new_segments))
+        .groupBy("segment_id", "field", "term")
         .agg(
             F.sum("count").cast("long").alias("df"),
             F.sum(F.expr("aggregate(freqs, 0L, (a, x) -> a + x)")).alias("cf"),
@@ -298,11 +365,15 @@ def _write_postings_and_terms(
             F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(meta.num_buckets)).cast("int"),
         )
     )
-    terms.write.mode("overwrite").partitionBy("bucket").parquet(storage.path("terms"))
+    (
+        terms.write.mode(mode)
+        .partitionBy("segment_id", "bucket")
+        .parquet(storage.path("terms"))
+    )
 
 
 def _write_stats_and_manifest(
-    analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta
+    analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta, mode: str
 ) -> None:
     aggs = [
         F.count("*").alias("doc_count"),
@@ -327,7 +398,7 @@ def _write_stats_and_manifest(
     stats = rows[0]
     for r in rows[1:]:
         stats = stats.unionByName(r)
-    stats.coalesce(1).write.mode("overwrite").parquet(storage.path("field_stats"))
+    stats.coalesce(1).write.mode(mode).parquet(storage.path("field_stats"))
 
     manifest = seg.select(
         F.lit(meta.generation).alias("generation"),
@@ -338,4 +409,4 @@ def _write_stats_and_manifest(
         F.lit("sealed").alias("status"),
         F.lit(time.time()).alias("built_at"),
     )
-    manifest.coalesce(1).write.mode("overwrite").parquet(storage.path("manifest"))
+    manifest.coalesce(1).write.mode(mode).parquet(storage.path("manifest"))

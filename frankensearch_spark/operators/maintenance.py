@@ -1,0 +1,469 @@
+"""Index maintenance: upsert / delete / compaction / merge / GC.
+
+Spark-first rebuild of the reference's keeper maintenance surface
+(reference: ``quill/src/keeper.rs`` — tombstones in the manifest, segments
+immutable; ``index.rs:5489`` index_documents_with_replacements;
+``keeper.rs:3261`` concat_merge; ``keeper.rs:204`` CompactionPolicy;
+``keeper.rs:1347`` TierMergePolicy; GC per plan §11.4):
+
+* **Everything is append-only** except the (tiny) manifest and tombstone
+  tables, which are atomically rewritten — the two-slot MANIFEST publish.
+  Readers pin the manifest's live segment set, so concurrent queries keep
+  seeing the previous generation until the manifest swap (snapshot
+  isolation, Iceberg-style).
+* **Delete** appends ``(segment_id, docid)`` tombstones; segment files are
+  untouched and BM25 stats stay at-seal (reference ``quiver.rs:11877``).
+* **Upsert** = tombstone the previous docids of matching doc_ids + index
+  the batch as NEW segments under NEW docids from the high-watermark
+  (docids are monotone, never reused — ``argus.rs:32``).
+* **Compaction** rewrites a tombstone-heavy segment into a fresh segment id
+  with dead docs dropped but surviving docids PRESERVED (gaps legal — plan
+  Q1-OB4); its at-seal stats are replaced by live stats (reference
+  ``keeper.rs:4503`` adjust_compaction_field_stats); its tombstones fold.
+* **Concat-merge** unifies bound-consecutive segments into one: because
+  docids are global and ranges disjoint, posting blocks concatenate with
+  no rebase (the Q1 theorem, plan §7) — here block rows are re-keyed to
+  the output segment and renumbered in first_doc order; stats are summed.
+* **GC** deletes segment partition directories no longer referenced by the
+  manifest, after maintenance has superseded them.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.contract import POSTINGS_PER_BLOCK
+from ..sources.storage import IndexMeta, IndexStorage
+from .build import append_segment_batch
+
+#: Rewrite a segment when tombstoned docs reach this share (config.rs:29).
+DEFAULT_TOMBSTONE_DENSITY = 0.20
+
+#: Merge when a tier holds at least this many consecutive runs (config.rs:21).
+DEFAULT_MERGE_FANOUT = 8
+
+#: Docid-range width of a "small" tier segment (one lease, scribe.rs:82).
+SMALL_TIER_WIDTH = 1 << 16
+
+
+class IndexMaintenance:
+    """Maintenance operations over one index directory."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.storage = IndexStorage(spark, index_dir)
+        self.meta: IndexMeta = self.storage.read_meta()
+
+    # ── delete / upsert ───────────────────────────────────────────────────
+
+    def delete(self, doc_ids: Sequence[str]) -> int:
+        """Tombstone every live doc whose ``doc_id`` is in ``doc_ids``.
+
+        Returns the number of newly tombstoned docids.  The docs table is
+        the IDHASH analogue: doc_id -> docid resolution is a join.
+        """
+        if not doc_ids:
+            return 0
+        live = self.storage.live_segments()
+        docs = (
+            self.storage.read("docs")
+            .where(F.col("segment_id").isin(live))
+            .where(F.col("doc_id").isin(list(doc_ids)))
+            .select("segment_id", "docid")
+        )
+        if self.storage.table_exists("tombstones"):
+            docs = docs.join(
+                self.storage.read("tombstones").select("docid"),
+                on="docid",
+                how="left_anti",
+            )
+        docs = docs.select(
+            F.col("docid").cast("long"), F.col("segment_id").cast("int")
+        ).persist()
+        try:
+            n = docs.count()  # stays distributed — no driver materialization
+            if n:
+                docs.coalesce(1).write.mode("append").parquet(
+                    self.storage.path("tombstones")
+                )
+            return int(n)
+        finally:
+            docs.unpersist()
+
+    def upsert(
+        self,
+        df: DataFrame,
+        sort_cols: Sequence[str] = ("doc_id",),
+        num_segments: int = 1,
+    ) -> list[int]:
+        """Replace-or-add a batch: tombstone old docids, index under new.
+
+        Mirrors ``index_documents_with_replacements`` (index.rs:5489):
+        upsert = delete(old identity) + add(new docid); commit = manifest
+        append (visibility) after all segment tables are written.
+        """
+        batch_ids = [r["doc_id"] for r in df.select("doc_id").distinct().collect()]
+        self.delete(batch_ids)
+        docid_base, segment_base = self.storage.next_bases()
+        segments = append_segment_batch(
+            self.spark,
+            df,
+            self.storage,
+            self.meta,
+            sort_cols=list(sort_cols),
+            num_segments=num_segments,
+            docid_base=docid_base,
+            segment_base=segment_base,
+        )
+        self._bump_generation()
+        return segments
+
+    # ── compaction ────────────────────────────────────────────────────────
+
+    def tombstone_density(self) -> dict[int, float]:
+        """Per-live-segment tombstone share (0.0 when no tombstones)."""
+        live = self.storage.live_segments()
+        if not self.storage.table_exists("tombstones"):
+            return {s: 0.0 for s in live}
+        counts = {
+            r["segment_id"]: r["n"]
+            for r in self.storage.read("tombstones")
+            .groupBy("segment_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        docs = {
+            r["segment_id"]: r["doc_count"]
+            for r in self.storage.read("manifest")
+            .where(F.col("segment_id").isin(live))
+            .select("segment_id", "doc_count")
+            .collect()
+        }
+        return {
+            s: (counts.get(s, 0) / docs[s] if docs.get(s) else 0.0) for s in live
+        }
+
+    def compact(
+        self, max_density: float = DEFAULT_TOMBSTONE_DENSITY
+    ) -> dict[int, int]:
+        """Rewrite segments whose tombstone density reaches ``max_density``.
+
+        Each source segment becomes a fresh output segment id with dead
+        docs dropped, docids preserved, posting blocks re-packed to 128,
+        and live at-seal stats.  Returns {source_segment: output_segment}.
+        """
+        density = self.tombstone_density()
+        victims = sorted(s for s, d in density.items() if d >= max_density and d > 0)
+        if not victims:
+            return {}
+        _, next_segment = self.storage.next_bases()
+        mapping = {}
+        for src in victims:
+            mapping[src] = next_segment
+            next_segment += 1
+        self._rewrite_segments(mapping)
+        self._publish_supersede(mapping, fold_tombstones=True)
+        return mapping
+
+    # ── concat merge ──────────────────────────────────────────────────────
+
+    def plan_tier_merge(self, fanout: int = DEFAULT_MERGE_FANOUT) -> list[list[int]]:
+        """Runs of >=``fanout`` docid-consecutive same-tier segments.
+
+        Tier = size class of the docid-range width (small <= one 64Ki
+        lease, then doubling classes) — reference ``keeper.rs:1459``
+        plan_tier_merge simplified to the consecutive-run rule.
+        """
+        rows = (
+            self.storage.read("manifest")
+            .where(F.col("segment_id").isin(self.storage.live_segments()))
+            .select("segment_id", "docid_lo", "docid_hi")
+            .orderBy("docid_lo")
+            .collect()
+        )
+
+        def tier(width: int) -> int:
+            t = 0
+            w = SMALL_TIER_WIDTH
+            while width > w:
+                w *= 8
+                t += 1
+            return t
+
+        plans: list[list[int]] = []
+        run: list = []
+        prev_hi = None
+        prev_tier = None
+        for r in rows:
+            t = tier(int(r["docid_hi"]) - int(r["docid_lo"]))
+            consecutive = prev_hi is None or int(r["docid_lo"]) >= prev_hi
+            if run and (t != prev_tier or not consecutive):
+                if len(run) >= fanout:
+                    plans.append([x["segment_id"] for x in run])
+                run = []
+            run.append(r)
+            prev_hi = int(r["docid_hi"])
+            prev_tier = t
+        if len(run) >= fanout:
+            plans.append([x["segment_id"] for x in run])
+        return plans
+
+    def concat_merge(self, segment_ids: Sequence[int]) -> int:
+        """Merge ordered, docid-disjoint segments into one output segment.
+
+        The Q1 concat law: global docids need no rebase, so per-term
+        posting blocks are copied with only their segment key and block
+        ordinal rewritten (ordered by first_doc); stats/manifest rows sum.
+        Query results are invariant (merged ≡ unmerged — plan Q1-OB3).
+        """
+        segment_ids = sorted(segment_ids)
+        _, out_seg = self.storage.next_bases()
+        mapping = {s: out_seg for s in segment_ids}
+        # docs / doclens / terms / postings: re-key to the output segment
+        for table in ("docs", "doclens"):
+            df = (
+                self.storage.read(table)
+                .where(F.col("segment_id").isin(segment_ids))
+                .withColumn("segment_id", F.lit(out_seg))
+            )
+            df.write.mode("append").partitionBy("segment_id").parquet(
+                self.storage.path(table)
+            )
+        terms = (
+            self.storage.read("terms")
+            .where(F.col("segment_id").isin(segment_ids))
+            .groupBy("field", "term", "bucket")
+            .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
+            .withColumn("segment_id", F.lit(out_seg))
+        )
+        terms.write.mode("append").partitionBy("segment_id", "bucket").parquet(
+            self.storage.path("terms")
+        )
+        w = Window.partitionBy("field", "term").orderBy("first_doc")
+        postings = (
+            self.storage.read("postings")
+            .where(F.col("segment_id").isin(segment_ids))
+            .withColumn("segment_id", F.lit(out_seg))
+            .withColumn("block_id", (F.row_number().over(w) - F.lit(1)).cast("int"))
+        )
+        postings.write.mode("append").partitionBy("segment_id", "bucket").parquet(
+            self.storage.path("postings")
+        )
+        stats = (
+            self.storage.read("field_stats")
+            .where(F.col("segment_id").isin(segment_ids))
+            .groupBy("field")
+            .agg(
+                F.sum("doc_count").cast("long").alias("doc_count"),
+                F.sum("total_tokens").cast("long").alias("total_tokens"),
+                F.min("docid_lo").alias("docid_lo"),
+                F.max("docid_hi").alias("docid_hi"),
+            )
+            .withColumn("segment_id", F.lit(out_seg))
+            .select(
+                "segment_id", "field", "doc_count", "total_tokens", "docid_lo", "docid_hi"
+            )
+        )
+        stats.coalesce(1).write.mode("append").parquet(self.storage.path("field_stats"))
+        self._publish_supersede(mapping, fold_tombstones=False, remap_tombstones=True)
+        return out_seg
+
+    # ── GC ────────────────────────────────────────────────────────────────
+
+    def gc(self) -> list[str]:
+        """Delete segment partition directories not referenced by the
+        manifest (the writer-admitted GC of plan §11.4).  Returns removed
+        paths.  Safe only when no reader is pinned to an older manifest."""
+        live = set(self.storage.live_segments())
+        removed = []
+        for table in ("docs", "doclens", "postings", "terms"):
+            root = self.storage.path(table)
+            if not os.path.isdir(root):
+                continue
+            for entry in os.listdir(root):
+                if not entry.startswith("segment_id="):
+                    continue
+                seg = int(entry.split("=", 1)[1])
+                if seg not in live:
+                    path = os.path.join(root, entry)
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(path)
+        return removed
+
+    # ── internals ─────────────────────────────────────────────────────────
+
+    def _rewrite_segments(self, mapping: dict[int, int]) -> None:
+        """Write compacted copies of ``mapping`` keys under their new ids."""
+        srcs = sorted(mapping)
+        seg_map = F.create_map(
+            *[F.lit(x) for pair in mapping.items() for x in pair]
+        )
+        dead = self.storage.read("tombstones").select("docid")
+        for table in ("docs", "doclens"):
+            df = (
+                self.storage.read(table)
+                .where(F.col("segment_id").isin(srcs))
+                .join(F.broadcast(dead), on="docid", how="left_anti")
+                .withColumn("segment_id", seg_map[F.col("segment_id")])
+            )
+            df.write.mode("append").partitionBy("segment_id").parquet(
+                self.storage.path(table)
+            )
+        # postings: explode entries, drop dead docids, re-pack 128-blocks
+        postings = self.storage.read("postings").where(F.col("segment_id").isin(srcs))
+        has_positions = "positions" in postings.columns
+        entry_cols = ["docids", "freqs", "fnids"] + (
+            ["positions"] if has_positions else []
+        )
+        exploded = postings.select(
+            "segment_id",
+            "field",
+            "term",
+            "bucket",
+            F.explode(F.arrays_zip(*entry_cols)).alias("e"),
+        ).select(
+            "segment_id",
+            "field",
+            "term",
+            "bucket",
+            F.col("e.docids").alias("docid"),
+            F.col("e.freqs").alias("freq"),
+            F.col("e.fnids").alias("fnid"),
+            *([F.col("e.positions").alias("positions")] if has_positions else []),
+        )
+        survivors = exploded.join(F.broadcast(dead), on="docid", how="left_anti")
+        w = Window.partitionBy("segment_id", "field", "term").orderBy("docid")
+        blocked = survivors.withColumn(
+            "block_id",
+            F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(POSTINGS_PER_BLOCK)).cast(
+                "int"
+            ),
+        )
+        entry = F.struct(
+            F.col("docid"),
+            F.col("freq"),
+            F.col("fnid"),
+            *([F.col("positions")] if has_positions else []),
+        )
+        agg = blocked.groupBy("segment_id", "field", "term", "bucket", "block_id").agg(
+            F.sort_array(F.collect_list(entry)).alias("entries")
+        )
+        new_postings = agg.select(
+            seg_map[F.col("segment_id")].alias("segment_id"),
+            "field",
+            "term",
+            "block_id",
+            "bucket",
+            F.element_at("entries", 1)["docid"].alias("first_doc"),
+            F.size("entries").cast("int").alias("count"),
+            F.expr("transform(entries, e -> e.docid)").alias("docids"),
+            F.expr("transform(entries, e -> e.freq)").alias("freqs"),
+            F.expr("transform(entries, e -> e.fnid)").alias("fnids"),
+            *(
+                [F.expr("transform(entries, e -> e.positions)").alias("positions")]
+                if has_positions
+                else []
+            ),
+            F.least(
+                F.expr("array_max(transform(entries, e -> e.freq))"), F.lit(255)
+            ).cast("int").alias("max_freq_code"),
+            F.expr("array_min(transform(entries, e -> e.fnid))").cast("int").alias(
+                "min_fnid"
+            ),
+        )
+        new_postings.write.mode("append").partitionBy("segment_id", "bucket").parquet(
+            self.storage.path("postings")
+        )
+        # fresh dictionary + stats for the output segments
+        out_segs = sorted(mapping.values())
+        terms = (
+            self.storage.read("postings")
+            .where(F.col("segment_id").isin(out_segs))
+            .groupBy("segment_id", "field", "term", "bucket")
+            .agg(
+                F.sum("count").cast("long").alias("df"),
+                F.sum(F.expr("aggregate(freqs, 0L, (a, x) -> a + x)")).alias("cf"),
+            )
+        )
+        terms.write.mode("append").partitionBy("segment_id", "bucket").parquet(
+            self.storage.path("terms")
+        )
+        doclens = self.storage.read("doclens").where(F.col("segment_id").isin(out_segs))
+        stat_rows = []
+        for field in self.meta.text_fields:
+            stat_rows.append(
+                doclens.groupBy("segment_id").agg(
+                    F.count("*").cast("long").alias("doc_count"),
+                    F.sum(f"len_{field}").cast("long").alias("total_tokens"),
+                    F.min("docid").alias("docid_lo"),
+                    F.max("docid").alias("docid_hi"),
+                ).select(
+                    "segment_id",
+                    F.lit(field).alias("field"),
+                    "doc_count",
+                    "total_tokens",
+                    "docid_lo",
+                    "docid_hi",
+                )
+            )
+        stats = stat_rows[0]
+        for s in stat_rows[1:]:
+            stats = stats.unionByName(s)
+        stats.coalesce(1).write.mode("append").parquet(self.storage.path("field_stats"))
+
+    def _publish_supersede(
+        self,
+        mapping: dict[int, int],
+        fold_tombstones: bool,
+        remap_tombstones: bool = False,
+    ) -> None:
+        """Atomically swap the manifest: drop source segments, add outputs.
+
+        This is the visibility point — readers opening after the swap see
+        the new generation; readers opened before keep the old one (their
+        segment dirs survive until :meth:`gc`).
+        """
+        srcs = sorted(mapping)
+        out_segs = sorted(set(mapping.values()))
+        doclens = self.storage.read("doclens").where(F.col("segment_id").isin(out_segs))
+        new_rows = doclens.groupBy("segment_id").agg(
+            F.min("docid").alias("docid_lo"),
+            (F.max("docid") + F.lit(1)).alias("docid_hi"),
+            F.count("*").alias("doc_count"),
+        ).select(
+            F.lit(self.meta.generation + 1).alias("generation"),
+            "segment_id",
+            "docid_lo",
+            "docid_hi",
+            "doc_count",
+            F.lit("sealed").alias("status"),
+            F.lit(time.time()).alias("built_at"),
+        )
+        manifest = self.storage.read("manifest").where(
+            ~F.col("segment_id").isin(srcs)
+        )
+        self.storage.atomic_rewrite("manifest", manifest.unionByName(new_rows))
+        if self.storage.table_exists("tombstones"):
+            tombs = self.storage.read("tombstones")
+            if fold_tombstones:
+                tombs = tombs.where(~F.col("segment_id").isin(srcs))
+            elif remap_tombstones:
+                seg_map = F.create_map(
+                    *[F.lit(x) for pair in mapping.items() for x in pair]
+                )
+                tombs = tombs.withColumn(
+                    "segment_id",
+                    F.coalesce(seg_map[F.col("segment_id")], F.col("segment_id")),
+                )
+            self.storage.atomic_rewrite("tombstones", tombs)
+        self._bump_generation()
+
+    def _bump_generation(self) -> None:
+        self.meta.generation += 1
+        self.storage.write_meta(self.meta)

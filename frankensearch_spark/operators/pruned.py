@@ -113,7 +113,7 @@ class PrunedExecutor:
         buckets = sorted(
             {engine_bucket(t, engine.meta.num_buckets) for _, _, t, _ in rows}
         )
-        postings = engine.storage.read("postings").where(F.col("bucket").isin(buckets))
+        postings = engine._read_live("postings").where(F.col("bucket").isin(buckets))
         joined = postings.join(
             F.broadcast(qterms), on=["field", "term"], how="inner"
         )

@@ -69,8 +69,17 @@ class SearchEngine:
         self.schema = schema or _schema_from_meta(self.meta)
         self.parser = q.DefaultQueryParser(self.schema)
 
-        # snapshot stats: N (total docs) and avgdl per field, from field_stats
-        stats = self.storage.read("field_stats").collect()
+        # Snapshot pin: the manifest's live segment set at open time.  Every
+        # per-segment table read filters to it (partition pruning), so one
+        # engine instance always queries one generation (the Arc-swap /
+        # VERSION AS OF analogue, reference index.rs:7374).
+        self.live_segments = self.storage.live_segments()
+        self._has_tombstones = self.storage.table_exists("tombstones")
+
+        # snapshot stats: N (total docs) and avgdl per field, from the live
+        # segments' at-seal rows (tombstones do NOT adjust stats until
+        # compaction — reference quiver.rs:11877)
+        stats = self._read_live("field_stats").collect()
         seg_docs: dict[int, int] = {}
         tokens: dict[str, int] = {}
         for r in stats:
@@ -165,7 +174,7 @@ class SearchEngine:
         generator = SnippetGenerator(
             {t: dfs.get((snippet_field, t), 0) for t in terms}, max_chars=max_chars
         )
-        docs = self.storage.read("docs")
+        docs = self._read_live("docs")
         if snippet_field not in docs.columns:
             hits = hits.assign(snippet=None)
             return SearchResult(hits=hits, total_count=result.total_count)
@@ -199,6 +208,23 @@ class SearchEngine:
             return self.parser.parse_lenient(query).query
         return query
 
+    def _read_live(self, table: str) -> DataFrame:
+        """Read a per-segment table pinned to this engine's snapshot."""
+        df = self.storage.read(table)
+        return df.where(F.col("segment_id").isin(self.live_segments))
+
+    def _filter_tombstones(self, frame: DataFrame) -> DataFrame:
+        """Drop tombstoned docids from a (docid, ...) frame.
+
+        Tombstones live outside the immutable segments (reference plan
+        §10.5) and are folded at compaction; until then every query
+        anti-joins the (small, broadcast) tombstone set.
+        """
+        if not self._has_tombstones:
+            return frame
+        dead = self.storage.read("tombstones").select("docid")
+        return frame.join(F.broadcast(dead), on="docid", how="left_anti")
+
     def _evaluate(self, plan: EvalPlan) -> Optional[DataFrame]:
         """Return DataFrame (docid long, score float32) of matching docs."""
         frames = []
@@ -228,6 +254,7 @@ class SearchEngine:
 
     def _combine(self, plan: EvalPlan, cand: DataFrame) -> DataFrame:
         """Pivot (docid, leaf_id, score) rows and run the shared f32 eval tree."""
+        cand = self._filter_tombstones(cand)
         leaf_ids = [l.leaf_id for l in plan.leaves]
         pivoted = cand.groupBy("docid").pivot("leaf_id", leaf_ids).agg(F.first("score"))
         spec = plan.spec
@@ -277,11 +304,17 @@ class SearchEngine:
         if not pairs:
             return {}
         buckets = sorted({_bucket(t, self.meta.num_buckets) for _, t in pairs})
-        terms = self.storage.read("terms").where(F.col("bucket").isin(buckets))
+        terms = self._read_live("terms").where(F.col("bucket").isin(buckets))
         cond = F.lit(False)
         for field, term in pairs:
             cond = cond | ((F.col("field") == field) & (F.col("term") == term))
-        rows = terms.where(cond).select("field", "term", "df").collect()
+        # snapshot df = sum of the per-segment dictionary rows
+        rows = (
+            terms.where(cond)
+            .groupBy("field", "term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
         out = {(r["field"], r["term"]): int(r["df"]) for r in rows}
         self._doc_freq_cache.update(out)
         for pair in pairs:
@@ -352,7 +385,7 @@ class SearchEngine:
         if not rows:
             return None
         buckets = sorted({r[4] for r in rows})
-        postings = self.storage.read("postings").where(F.col("bucket").isin(buckets))
+        postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
         subset = postings.join(
             block_keys, on=["field", "term", "segment_id", "block_id"], how="leftsemi"
         )
@@ -367,7 +400,7 @@ class SearchEngine:
         if not rows:
             return None
         buckets = sorted({r[4] for r in rows})
-        postings = self.storage.read("postings").where(F.col("bucket").isin(buckets))
+        postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
         exploded = self._exploded_postings(rows, postings).join(
             candidates, on="docid", how="leftsemi"
         )
@@ -378,7 +411,7 @@ class SearchEngine:
         if not rows:
             return None
         buckets = sorted({r[4] for r in rows})
-        postings = self.storage.read("postings").where(F.col("bucket").isin(buckets))
+        postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
         return self._score_rows(self._exploded_postings(rows, postings))
 
     def _score_rows(self, rows: DataFrame) -> DataFrame:
@@ -432,7 +465,7 @@ class SearchEngine:
             qrows, "ord int, field string, term string, off int, bucket int"
         )
         buckets = sorted({r[4] for r in qrows})
-        postings = self.storage.read("postings").where(F.col("bucket").isin(buckets))
+        postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
         rows = (
             postings.join(F.broadcast(qterms), on=["field", "term", "bucket"], how="inner")
             .select(
@@ -506,9 +539,10 @@ class SearchEngine:
         else:
             cond = F.col("term").rlike(glob.to_regex(core))
         rows = (
-            self.storage.read("terms")
+            self._read_live("terms")
             .where((F.col("field") == field) & cond)
             .select("term")
+            .distinct()  # per-segment dictionary rows -> snapshot term set
             .orderBy("term")
             .limit(glob.DEFAULT_GLOB_EXPANSION_LIMIT)
             .collect()
@@ -519,7 +553,7 @@ class SearchEngine:
         """Const-score doc set for one (field, pattern) glob leaf."""
         if not self._is_text(leaf.field):
             # keyword-field glob: match the stored column values directly
-            docs = self.storage.read("docs")
+            docs = self._read_live("docs")
             name = "doc_id" if leaf.field == "id" else leaf.field
             if name not in docs.columns:
                 return None
@@ -543,7 +577,7 @@ class SearchEngine:
         if not terms:
             return None
         buckets = sorted({_bucket(t, self.meta.num_buckets) for t in terms})
-        postings = self.storage.read("postings").where(F.col("bucket").isin(buckets))
+        postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
         matched = (
             postings.where(
                 (F.col("field") == leaf.field) & F.col("term").isin(terms)
@@ -558,7 +592,7 @@ class SearchEngine:
         )
 
     def _docs_leaf_frame(self, leaf: LeafSpec) -> Optional[DataFrame]:
-        docs = self.storage.read("docs")
+        docs = self._read_live("docs")
         if leaf.kind == "all":
             cond = F.lit(True)
         elif leaf.kind == "term":
@@ -597,7 +631,7 @@ class SearchEngine:
             return _empty_hits()
         docids = [int(d) for d in winners["docid"]]
         docs = (
-            self.storage.read("docs")
+            self._read_live("docs")
             .where(F.col("docid").isin(docids))
             .select("docid", "doc_id")
             .toPandas()

@@ -64,7 +64,15 @@ class IndexMeta:
 class IndexStorage:
     """Path-based table access for one index directory."""
 
-    TABLES = ("docs", "doclens", "postings", "terms", "field_stats", "manifest")
+    TABLES = (
+        "docs",
+        "doclens",
+        "postings",
+        "terms",
+        "field_stats",
+        "manifest",
+        "tombstones",
+    )
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
@@ -76,8 +84,72 @@ class IndexStorage:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
+    def table_exists(self, table: str) -> bool:
+        return os.path.exists(self.path(table))
+
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.index_dir, INDEX_META))
+
+    def clear_tables(self) -> None:
+        """Remove all table directories (fresh-build reset)."""
+        import shutil
+
+        for table in self.TABLES:
+            shutil.rmtree(self.path(table), ignore_errors=True)
+
+    # ── snapshot surface ──────────────────────────────────────────────────
+
+    def live_segments(self) -> list[int]:
+        """Segment ids visible in the current manifest generation.
+
+        The manifest is the snapshot source of truth: appends publish new
+        segments by appending rows; compaction/merge supersede segments by
+        atomically rewriting the manifest without them.  Readers must
+        filter every per-segment table by this set (partition pruning makes
+        the filter free), which is what pins one generation per query.
+        """
+        if not self.table_exists("manifest"):
+            return []
+        rows = (
+            self.read("manifest")
+            .where("status = 'sealed'")
+            .select("segment_id")
+            .distinct()
+            .collect()
+        )
+        return sorted(r["segment_id"] for r in rows)
+
+    def next_bases(self) -> tuple[int, int]:
+        """(next docid, next segment id) from the manifest high-watermarks.
+
+        Docids are monotone and never reused (reference ``argus.rs:32``);
+        segment ids likewise — compaction outputs fresh segment ids
+        (reference ``keeper.rs`` compact_segment output_segment_id).
+        """
+        if not self.table_exists("manifest"):
+            return 0, 0
+        row = (
+            self.read("manifest")
+            .agg({"docid_hi": "max", "segment_id": "max"})
+            .collect()[0]
+        )
+        return int(row["max(docid_hi)"]), int(row["max(segment_id)"]) + 1
+
+    def atomic_rewrite(self, table: str, df: DataFrame) -> None:
+        """Replace a (small) table via write-to-temp + directory swap — the
+        two-slot MANIFEST publish analogue for driver-side metadata tables."""
+        import shutil
+
+        tmp = self.path(table) + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        final = self.path(table)
+        prev = final + ".prev"
+        shutil.rmtree(prev, ignore_errors=True)
+        if os.path.exists(final):
+            os.replace(final, prev)
+        os.replace(tmp, final)
+        shutil.rmtree(prev, ignore_errors=True)
 
     def write_meta(self, meta: IndexMeta) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
