@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from frankensearch_spark.index import LexicalIndex  # noqa: E402
-from frankensearch_spark.operators import simsearch, textops  # noqa: E402
+from frankensearch_spark.operators import dedup, simsearch, textops  # noqa: E402
 from frankensearch_spark.sources import duckdb_oracle as dsql  # noqa: E402
 
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".entry_cache")
@@ -186,6 +186,37 @@ def _q_embedding_cosine(spark, sf_dir):
     return simsearch.cosine_topk(emb, _query_vec(sf_dir), k=10)
 
 
+def _q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_documents(spark, sf_dir), threshold=0.2)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_documents(spark, sf_dir))
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), threshold=0.2)
+
+
+def _q_embedding_near_dup(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.3, n_planes=4)
+
+
+def _q_embedding_lsh_topk(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return dedup.cosine_topk_lsh(emb, _query_vec(sf_dir), k=10, n_planes=4)
+
+
+def _q_multimodal_meta(spark, sf_dir):
+    """Binary media plumbing (deterministic FAKE container; rows-only check)."""
+    from frankensearch_spark.operators import multimodal
+
+    docs = _documents(spark, sf_dir)
+    media = multimodal.attach_fake_media(docs)
+    return multimodal.decode_media_meta(media)
+
+
 def _q_events_rollup(spark, sf_dir):
     events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return textops.events_hourly_rollup(events)
@@ -210,6 +241,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_signals": _q_quality,
         "doc_fingerprint": _q_fingerprint,
         "embedding_cosine_top10": _q_embedding_cosine,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_lsh_top10": _q_embedding_lsh_topk,
+        "multimodal_decode_meta": _q_multimodal_meta,
         "events_hourly_rollup": _q_events_rollup,
     }
 
@@ -236,12 +273,19 @@ def oracle_sql() -> dict[str, str]:
         "langid_stopword": dsql.langid_stopword_sql(textops.EN_STOPWORDS),
         "quality_signals": dsql.quality_signals_sql(),
         "doc_fingerprint": dsql.doc_fingerprint_sql(),
+        "dedup_minhash_lsh": dsql.minhash_lsh_pairs_sql(0.2),
+        "dedup_simhash": dsql.simhash_sql(),
+        "dedup_ngram_jaccard": dsql.ngram_jaccard_pairs_sql(0.2),
+        "embedding_near_dup": dsql.embedding_near_dup_sql(0.3, n_planes=4),
         "events_hourly_rollup": dsql.events_hourly_rollup_sql(),
+        # multimodal_decode_meta: rows-only (blake2b-derived dims not SQL)
     }
     try:
-        out["embedding_cosine_top10"] = dsql.embedding_cosine_topk_sql(
-            _query_vec("/root/testdata/sf0.01")
+        qv = _query_vec("/root/testdata/sf0.01")
+        out["embedding_cosine_top10"] = dsql.embedding_cosine_topk_sql(qv)
+        out["embedding_lsh_top10"] = dsql.embedding_cosine_lsh_topk_sql(
+            qv, 10, n_planes=4
         )
     except Exception:
-        pass  # embeddings unavailable -> rows-only check for this query
+        pass  # embeddings unavailable -> rows-only check for these queries
     return out

@@ -388,6 +388,195 @@ LIMIT {k}
 """
 
 
+# ── dedup-suite oracles (pinned polynomial hash shared with the engine) ────
+
+_POLY = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(string_split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(h, c) -> (h*31 + c) % 1000000007)"
+)
+
+
+def _poly(expr: str) -> str:
+    return _POLY.format(s=expr)
+
+
+def _shingle_ctes(n: int = 3) -> str:
+    return f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS tokens
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(tokens) < {n}
+      THEN [array_to_string(tokens, ' ')]
+      ELSE list_transform(range(1, len(tokens) - {n} + 2),
+                          i -> array_to_string(tokens[i:i+{n - 1}], ' '))
+      END) AS shingles
+  FROM docs
+)"""
+
+
+def minhash_lsh_pairs_sql(threshold: float = 0.5) -> str:
+    from ..operators.dedup import HASH_MOD, LSH_BANDS, LSH_ROWS, MINHASH_A, MINHASH_B
+
+    sig_cols = ", ".join(
+        f"list_min(list_transform(hashes, h -> (h*{a} + {b}) % {HASH_MOD})) AS s{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_keys = ", ".join(
+        "'"
+        + str(i)
+        + "_' || "
+        + " || '_' || ".join(
+            f"CAST(s{i * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)
+        )
+        for i in range(LSH_BANDS)
+    )
+    return f"""{_shingle_ctes()},
+hashed AS (
+  SELECT doc_id, shingles, list_transform(shingles, s -> {_poly('s')}) AS hashes
+  FROM shingled WHERE len(shingles) > 0
+),
+sigs AS (SELECT doc_id, shingles, {sig_cols} FROM hashed),
+bands AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_id_a
+JOIN sigs sb ON sb.doc_id = c.doc_id_b
+WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE), 6) >= {threshold}
+"""
+
+
+def simhash_sql() -> str:
+    from ..operators.dedup import SIMHASH_BITS
+
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN freq ELSE -freq END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')
+  ) AS term
+  FROM documents
+),
+freqs AS (SELECT doc_id, term, count(*) AS freq FROM toks GROUP BY 1, 2),
+hashed AS (SELECT doc_id, freq, {_poly('term')} AS h FROM freqs),
+bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+"""
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.5, n: int = 3) -> str:
+    return f"""{_shingle_ctes(n)},
+sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM shingled WHERE len(shingles) > 0),
+inv AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled WHERE len(shingles) > 0),
+inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS inter
+  FROM inv a JOIN inv b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b,
+       round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_id_a
+JOIN sizes sb ON sb.doc_id = doc_id_b
+WHERE round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) >= {threshold}
+"""
+
+
+def _plane_dot_sql(vec_expr: str, plane) -> str:
+    """Left-fold f64 dot against literal plane weights (order-pinned)."""
+    dim = len(plane)
+    weights = ",".join(repr(float(w)) for w in plane)
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({vec_expr}[i] AS DOUBLE) * ([{weights}])[i])), (a, x) -> a + x)"
+    )
+
+
+def _bucket_sql(vec_expr: str, n_planes: int | None = None) -> str:
+    from ..operators.dedup import lsh_planes
+
+    planes = lsh_planes(n_planes) if n_planes else lsh_planes()
+    terms = " + ".join(
+        f"CASE WHEN {_plane_dot_sql(vec_expr, plane)} > 0 THEN {1 << j} ELSE 0 END"
+        for j, plane in enumerate(planes)
+    )
+    return f"({terms})"
+
+
+def _self_dot_sql(vec_expr: str, dim: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"i -> CAST({vec_expr}[i] AS DOUBLE) * CAST({vec_expr}[i] AS DOUBLE))), (a, x) -> a + x)"
+    )
+
+
+def embedding_near_dup_sql(threshold: float = 0.9, dim: int = 64, n_planes: int | None = None) -> str:
+    pair_dot = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    return f"""
+WITH based AS (
+  SELECT CAST(vec_id AS BIGINT) AS vid, embedding,
+         {_bucket_sql('embedding', n_planes)} AS bucket,
+         sqrt({_self_dot_sql('embedding', dim)}) AS nrm
+  FROM embeddings
+)
+SELECT a.vid AS vec_id_a, b.vid AS vec_id_b,
+       round({pair_dot} / (a.nrm * b.nrm), 6) AS cosine
+FROM based a JOIN based b ON a.bucket = b.bucket AND a.vid < b.vid
+WHERE round({pair_dot} / (a.nrm * b.nrm), 6) >= {threshold}
+"""
+
+
+def embedding_cosine_lsh_topk_sql(query_vec: list[float], k: int = 10, n_planes: int | None = None) -> str:
+    import numpy as np
+
+    from ..operators.dedup import lsh_planes
+
+    planes = lsh_planes(n_planes) if n_planes else lsh_planes()
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = 0
+    for j, plane in enumerate(planes):
+        acc = 0.0
+        for x, w in zip(q, plane):
+            acc += float(x) * float(w)
+        if acc > 0:
+            qbucket |= 1 << j
+    qnorm = float(np.sqrt((q * q).sum()))
+    dim = len(query_vec)
+    qdot = _plane_dot_sql("embedding", [float(v) for v in q])
+    return f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       round(CASE WHEN {_self_dot_sql('embedding', dim)} > 0
+             THEN {qdot} / (sqrt({_self_dot_sql('embedding', dim)}) * {qnorm!r})
+             ELSE 0.0 END, 6) AS cosine
+FROM embeddings
+WHERE {_bucket_sql('embedding', n_planes)} = {qbucket}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
 def events_hourly_rollup_sql() -> str:
     return """
 SELECT event_type,

