@@ -72,6 +72,15 @@ def _ascii_lower(s: str) -> str:
 def cass_analyze(text: str, hyphen_decompose: bool = True) -> list[CassToken]:
     """Token stream for ``hyphen_normalize`` (default) or
     ``prefix_normalize`` (``hyphen_decompose=False``)."""
+    return cass_token_stream(text, hyphen_decompose)[0]
+
+
+def cass_token_stream(
+    text: str, hyphen_decompose: bool = True
+) -> tuple[list[CassToken], int]:
+    """(tokens, position_count) — the position count includes runs whose
+    tokens were all dropped by byte-length admission (the reference
+    increments the position per source run regardless)."""
     out: list[CassToken] = []
     n = len(text)
     # precompute byte offsets per char index (O(n))
@@ -140,12 +149,35 @@ def cass_analyze(text: str, hyphen_decompose: bool = True) -> list[CassToken]:
             i = j
         else:
             i += 1
-    return out
+    return out, position
 
 
 def cass_analyze_prefix(text: str) -> list[CassToken]:
     """``prefix_normalize``: identical scan, no hyphen decomposition."""
     return cass_analyze(text, hyphen_decompose=False)
+
+
+def cass_tokenize_batch(
+    texts, hyphen_decompose: bool = True, edge_ngrams: bool = False
+) -> tuple[list[list[dict]], list[int]]:
+    """Batch tokenizer for the Spark build path.
+
+    Returns per row: a list of ``{"pos": int, "term": str}`` structs (the
+    same-position compound/part/bigram alternatives keep their shared
+    position) and the position count (the CASS doc length).  With
+    ``edge_ngrams=True`` the row text is first expanded through
+    :func:`cass_generate_edge_ngrams` (the ``*_prefix`` field source).
+    """
+    rows: list[list[dict]] = []
+    lens: list[int] = []
+    for text in texts:
+        text = text or ""
+        if edge_ngrams:
+            text = cass_generate_edge_ngrams(text)
+        toks, n_positions = cass_token_stream(text, hyphen_decompose)
+        rows.append([{"pos": t.position, "term": t.text} for t in toks])
+        lens.append(n_positions)
+    return rows, lens
 
 
 def cass_generate_edge_ngrams(text: str) -> str:

@@ -40,6 +40,8 @@ class LexicalIndex:
         num_segments: Optional[int] = None,
         num_buckets: int = 16,
         positions: bool = True,
+        analyzers: Optional[dict] = None,
+        derived_prefix_fields: Optional[dict] = None,
     ) -> "LexicalIndex":
         build_index(
             self.spark,
@@ -53,9 +55,47 @@ class LexicalIndex:
             num_segments=num_segments,
             num_buckets=num_buckets,
             positions=positions,
+            analyzers=analyzers,
+            derived_prefix_fields=derived_prefix_fields,
         )
         self._engine = None
         return self
+
+    def build_cass(
+        self,
+        df: DataFrame,
+        keyword_fields: Sequence[str] = ("agent", "workspace", "source_id", "origin_kind"),
+        i64_fields: Sequence[str] = ("created_at",),
+        stored_fields: Sequence[str] = ("title", "content"),
+        sort_cols: Sequence[str] = ("doc_id",),
+        num_segments: Optional[int] = None,
+        num_buckets: int = 16,
+    ) -> "LexicalIndex":
+        """Build the CASS agent-transcript index shape (schema.rs:379
+        CASS_SEMANTIC_SCHEMA): title/content under the hyphen-normalize
+        analyzer plus the edge-n-gram ``*_prefix`` acceleration fields.
+        Query it with :class:`~frankensearch_spark.plans.cass.
+        CassQueryParser` trees."""
+        return self.build(
+            df,
+            text_fields=("title", "content", "title_prefix", "content_prefix"),
+            keyword_fields=[f for f in keyword_fields if f in df.columns],
+            i64_fields=[f for f in i64_fields if f in df.columns],
+            stored_fields=stored_fields,
+            sort_cols=sort_cols,
+            num_segments=num_segments,
+            num_buckets=num_buckets,
+            analyzers={
+                "title": "cass_hyphen",
+                "content": "cass_hyphen",
+                "title_prefix": "cass_prefix",
+                "content_prefix": "cass_prefix",
+            },
+            derived_prefix_fields={
+                "title_prefix": "title",
+                "content_prefix": "content",
+            },
+        )
 
     @classmethod
     def build_transcripts(

@@ -67,12 +67,20 @@ def build_index(
     num_segments: Optional[int] = None,
     num_buckets: int = 16,
     positions: bool = True,
+    analyzers: Optional[dict] = None,
+    derived_prefix_fields: Optional[dict] = None,
 ) -> IndexStorage:
     """Build a full index from ``df`` into ``index_dir``.
 
     ``df`` must contain a unique ``doc_id`` string column, the text field
     columns, and any keyword/i64/stored passthrough columns.  ``sort_cols``
     defines the stable total order that assigns global docids.
+
+    ``analyzers`` maps text fields to "default" (the frankensearch
+    analyzer) or "cass_hyphen"/"cass_prefix" (the CASS family, which emits
+    same-position compound/part/bigram alternatives).
+    ``derived_prefix_fields`` maps a text field to the source column whose
+    edge-n-gram expansion it indexes (the CASS ``*_prefix`` fields).
     """
     storage = IndexStorage(spark, index_dir)
     meta = IndexMeta(
@@ -82,6 +90,8 @@ def build_index(
         stored_fields=list(stored_fields),
         num_buckets=num_buckets,
         positions=positions,
+        analyzers=dict(analyzers or {}),
+        derived_prefix_fields=dict(derived_prefix_fields or {}),
     )
 
     if num_segments is None:
@@ -125,6 +135,12 @@ def append_segment_batch(
     the analogue of the reference's seal-then-publish commit protocol
     (``index.rs:6054``).  Returns the new segment ids.
     """
+    # AQE's partition coalescing optimizes for task-size, which throttles
+    # the build's CPU-bound aggregation stages on small-ish inputs; keep
+    # the build at full parallelism (AQE skew handling stays on for reads).
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
     ranged, analyzed = _assign_docids_and_tokenize(
         spark,
         df,
@@ -141,6 +157,7 @@ def append_segment_batch(
         write_segment_tables(analyzed, storage, meta, mode=mode)
     finally:
         analyzed.unpersist()
+        spark.conf.set(coalesce_key, prev_coalesce)
     return list(range(segment_base, segment_base + num_segments))
 
 
@@ -168,7 +185,14 @@ def _assign_docids_and_tokenize(
     segment_base: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     passthrough = _passthrough_columns(df, meta)
-    select_cols = ["doc_id", *passthrough, *[f for f in meta.text_fields if f in df.columns]]
+    text_sources = [
+        meta.derived_prefix_fields.get(f, f) for f in meta.text_fields
+    ]
+    select_cols = [
+        "doc_id",
+        *passthrough,
+        *[s for s in text_sources if s in df.columns],
+    ]
     ranged = (
         df.select(*dict.fromkeys(select_cols))
         .repartitionByRange(num_segments, *sort_cols)
@@ -190,9 +214,6 @@ def _assign_docids_and_tokenize(
         bases[pid] = running
         running += count_map.get(pid, 0)
 
-    text_fields = [f for f in meta.text_fields if f in df.columns]
-    missing_text = [f for f in meta.text_fields if f not in df.columns]
-
     out_fields = [
         StructField("docid", LongType(), False),
         StructField("segment_id", IntegerType(), False),
@@ -200,13 +221,28 @@ def _assign_docids_and_tokenize(
     ]
     for name in passthrough:
         out_fields.append(df.schema[name])
+    pair_type = ArrayType(
+        StructType(
+            [
+                StructField("pos", IntegerType(), False),
+                StructField("term", StringType(), False),
+            ]
+        )
+    )
     for f in meta.text_fields:
-        out_fields.append(StructField(f"tokens_{f}", ArrayType(StringType()), True))
+        if meta.analyzer_of(f) == "default":
+            out_fields.append(StructField(f"tokens_{f}", ArrayType(StringType()), True))
+        else:
+            out_fields.append(StructField(f"tokpairs_{f}", pair_type, True))
         out_fields.append(StructField(f"len_{f}", IntegerType(), False))
         out_fields.append(StructField(f"fnid_{f}", IntegerType(), False))
     out_schema = StructType(out_fields)
+    analyzers = {f: meta.analyzer_of(f) for f in meta.text_fields}
+    derived = dict(meta.derived_prefix_fields)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.cass_analyze import cass_tokenize_batch
+
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         offset = bases.get(pid, docid_base)
@@ -219,12 +255,22 @@ def _assign_docids_and_tokenize(
             for name in passthrough:
                 out[name] = pdf[name].values
             for f in meta.text_fields:
-                if f in missing_text:
-                    tokens = [[] for _ in range(n)]
+                source = derived.get(f, f)
+                if source in pdf.columns:
+                    texts = pdf[source].fillna("").tolist()
                 else:
-                    tokens = tokenize_batch(pdf[f].fillna("").tolist())
-                lens = [len(t) for t in tokens]
-                out[f"tokens_{f}"] = tokens
+                    texts = [""] * n
+                if analyzers[f] == "default":
+                    tokens = tokenize_batch(texts)
+                    lens = [len(t) for t in tokens]
+                    out[f"tokens_{f}"] = tokens
+                else:
+                    pairs, lens = cass_tokenize_batch(
+                        texts,
+                        hyphen_decompose=(analyzers[f] == "cass_hyphen"),
+                        edge_ngrams=(f in derived),
+                    )
+                    out[f"tokpairs_{f}"] = pairs
                 out[f"len_{f}"] = pd.Series(lens, dtype="int32").values
                 out[f"fnid_{f}"] = fieldnorm_to_id(pd.Series(lens).values).astype("int32")
             offset += n
@@ -247,7 +293,7 @@ def _write_docs(
     passthrough = [
         c
         for c in analyzed.columns
-        if not c.startswith(("tokens_", "len_", "fnid_"))
+        if not c.startswith(("tokens_", "tokpairs_", "len_", "fnid_"))
     ]
     # stored text fields ride along for snippet/hydration parity
     stored_text = [f for f in meta.text_fields if f in meta.stored_fields]
@@ -281,18 +327,41 @@ def _write_doclens(
 
 
 def _token_frame(analyzed: DataFrame, meta: IndexMeta) -> DataFrame:
-    """Long-format (segment_id, field, term, docid, pos, fnid) frame."""
+    """Long-format (segment_id, field, term, docid, pos, fnid) frame.
+
+    Default fields explode their position-indexed token arrays; CASS
+    fields explode (pos, term) structs (same-position alternatives keep
+    their shared position).
+    """
     frames = []
     for f in meta.text_fields:
-        frames.append(
-            analyzed.select(
-                "segment_id",
-                F.lit(f).alias("field"),
-                "docid",
-                F.col(f"fnid_{f}").alias("fnid"),
-                F.posexplode(f"tokens_{f}").alias("pos", "term"),
-            ).where(F.col("term").isNotNull())
-        )
+        if meta.analyzer_of(f) == "default":
+            frames.append(
+                analyzed.select(
+                    "segment_id",
+                    F.lit(f).alias("field"),
+                    "docid",
+                    F.col(f"fnid_{f}").alias("fnid"),
+                    F.posexplode(f"tokens_{f}").alias("pos", "term"),
+                ).where(F.col("term").isNotNull())
+            )
+        else:
+            frames.append(
+                analyzed.select(
+                    "segment_id",
+                    F.lit(f).alias("field"),
+                    "docid",
+                    F.col(f"fnid_{f}").alias("fnid"),
+                    F.explode(f"tokpairs_{f}").alias("e"),
+                ).select(
+                    "segment_id",
+                    "field",
+                    "docid",
+                    "fnid",
+                    F.col("e.pos").alias("pos"),
+                    F.col("e.term").alias("term"),
+                )
+            )
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
@@ -302,43 +371,56 @@ def _token_frame(analyzed: DataFrame, meta: IndexMeta) -> DataFrame:
 def _write_postings_and_terms(
     analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta, mode: str
 ) -> None:
-    tokens = _token_frame(analyzed, meta)
-    per_doc = tokens.groupBy("segment_id", "field", "term", "docid").agg(
+    # ONE token-scale shuffle: hash-partition on (segment, bucket) up
+    # front.  bucket = pmod(crc32(term), B) is a pure function of the term,
+    # so every row of one (segment, field, term) lands in one partition;
+    # the per-doc aggregation, the block-numbering window, and the block
+    # aggregation all group by supersets of (segment_id, bucket), which
+    # this partitioning satisfies -- Catalyst plans NO further exchange,
+    # and the write is already aligned with its (segment, bucket)
+    # directory partitioning (exactly one file per directory).
+    tokens = (
+        _token_frame(analyzed, meta)
+        .withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(meta.num_buckets)).cast("int"),
+        )
+        .repartition("segment_id", "bucket")
+    )
+    per_doc = tokens.groupBy("segment_id", "bucket", "field", "term", "docid").agg(
         F.count("pos").cast("int").alias("freq"),
         F.sort_array(F.collect_list("pos")).alias("positions"),
         F.first("fnid").alias("fnid"),
     )
-    w = Window.partitionBy("segment_id", "field", "term").orderBy("docid")
+    w = Window.partitionBy("segment_id", "bucket", "field", "term").orderBy("docid")
     blocked = per_doc.withColumn(
         "block_id",
         F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(POSTINGS_PER_BLOCK)).cast("int"),
     )
     entry = F.struct(
-        F.col("docid"), F.col("freq"), F.col("fnid"), F.col("positions")
+        F.col("docid"),
+        F.col("freq"),
+        F.col("fnid"),
+        *([F.col("positions")] if meta.positions else []),
     )
-    agg = blocked.groupBy("segment_id", "field", "term", "block_id").agg(
+    agg = blocked.groupBy("segment_id", "bucket", "field", "term", "block_id").agg(
         F.sort_array(F.collect_list(entry)).alias("entries")
     )
+    # Posting blocks persist the entries struct array directly: Parquet
+    # columnarizes struct fields, so docids/freqs/fnids/positions still
+    # lay out as contiguous encoded columns, without the five array-copy
+    # transform() projections of a flattened layout.
     postings = agg.select(
         "segment_id",
         "field",
         "term",
         "block_id",
-        F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(meta.num_buckets)).cast("int").alias("bucket"),
+        "bucket",
         F.element_at("entries", 1)["docid"].alias("first_doc"),
         F.size("entries").cast("int").alias("count"),
-        F.expr("transform(entries, e -> e.docid)").alias("docids"),
-        F.expr("transform(entries, e -> e.freq)").alias("freqs"),
-        F.expr("transform(entries, e -> e.fnid)").alias("fnids"),
-        *(
-            [F.expr("transform(entries, e -> e.positions)").alias("positions")]
-            if meta.positions
-            else []
-        ),
-        F.least(
-            F.expr("array_max(transform(entries, e -> e.freq))"), F.lit(255)
-        ).cast("int").alias("max_freq_code"),
-        F.expr("array_min(transform(entries, e -> e.fnid))").cast("int").alias("min_fnid"),
+        F.least(F.expr("array_max(entries.freq)"), F.lit(255)).cast("int").alias("max_freq_code"),
+        F.expr("array_min(entries.fnid)").cast("int").alias("min_fnid"),
+        "entries",
     )
     (
         postings.write.mode(mode)
@@ -358,7 +440,7 @@ def _write_postings_and_terms(
         .groupBy("segment_id", "field", "term")
         .agg(
             F.sum("count").cast("long").alias("df"),
-            F.sum(F.expr("aggregate(freqs, 0L, (a, x) -> a + x)")).alias("cf"),
+            F.sum(F.expr("aggregate(entries.freq, 0L, (a, x) -> a + x)")).alias("cf"),
         )
         .withColumn(
             "bucket",
@@ -366,7 +448,8 @@ def _write_postings_and_terms(
         )
     )
     (
-        terms.write.mode(mode)
+        terms.repartition("segment_id", "bucket")
+        .write.mode(mode)
         .partitionBy("segment_id", "bucket")
         .parquet(storage.path("terms"))
     )

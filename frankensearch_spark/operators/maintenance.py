@@ -317,24 +317,23 @@ class IndexMaintenance:
             )
         # postings: explode entries, drop dead docids, re-pack 128-blocks
         postings = self.storage.read("postings").where(F.col("segment_id").isin(srcs))
-        has_positions = "positions" in postings.columns
-        entry_cols = ["docids", "freqs", "fnids"] + (
-            ["positions"] if has_positions else []
-        )
+        has_positions = "positions" in self.storage.read("postings").select(
+            F.expr("entries[0]")
+        ).schema[0].dataType.names
         exploded = postings.select(
             "segment_id",
             "field",
             "term",
             "bucket",
-            F.explode(F.arrays_zip(*entry_cols)).alias("e"),
+            F.explode("entries").alias("e"),
         ).select(
             "segment_id",
             "field",
             "term",
             "bucket",
-            F.col("e.docids").alias("docid"),
-            F.col("e.freqs").alias("freq"),
-            F.col("e.fnids").alias("fnid"),
+            F.col("e.docid").alias("docid"),
+            F.col("e.freq").alias("freq"),
+            F.col("e.fnid").alias("fnid"),
             *([F.col("e.positions").alias("positions")] if has_positions else []),
         )
         survivors = exploded.join(F.broadcast(dead), on="docid", how="left_anti")
@@ -362,20 +361,11 @@ class IndexMaintenance:
             "bucket",
             F.element_at("entries", 1)["docid"].alias("first_doc"),
             F.size("entries").cast("int").alias("count"),
-            F.expr("transform(entries, e -> e.docid)").alias("docids"),
-            F.expr("transform(entries, e -> e.freq)").alias("freqs"),
-            F.expr("transform(entries, e -> e.fnid)").alias("fnids"),
-            *(
-                [F.expr("transform(entries, e -> e.positions)").alias("positions")]
-                if has_positions
-                else []
+            F.least(F.expr("array_max(entries.freq)"), F.lit(255)).cast("int").alias(
+                "max_freq_code"
             ),
-            F.least(
-                F.expr("array_max(transform(entries, e -> e.freq))"), F.lit(255)
-            ).cast("int").alias("max_freq_code"),
-            F.expr("array_min(transform(entries, e -> e.fnid))").cast("int").alias(
-                "min_fnid"
-            ),
+            F.expr("array_min(entries.fnid)").cast("int").alias("min_fnid"),
+            "entries",
         )
         new_postings.write.mode("append").partitionBy("segment_id", "bucket").parquet(
             self.storage.path("postings")
@@ -388,7 +378,7 @@ class IndexMaintenance:
             .groupBy("segment_id", "field", "term", "bucket")
             .agg(
                 F.sum("count").cast("long").alias("df"),
-                F.sum(F.expr("aggregate(freqs, 0L, (a, x) -> a + x)")).alias("cf"),
+                F.sum(F.expr("aggregate(entries.freq, 0L, (a, x) -> a + x)")).alias("cf"),
             )
         )
         terms.write.mode("append").partitionBy("segment_id", "bucket").parquet(

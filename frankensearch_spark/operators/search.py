@@ -366,14 +366,14 @@ class SearchEngine:
             "leaf_id",
             "field",
             "weight",
-            F.explode(F.arrays_zip("docids", "freqs", "fnids")).alias("e"),
+            F.explode("entries").alias("e"),
         ).select(
             "leaf_id",
             "field",
             "weight",
-            F.col("e.docids").alias("docid"),
-            F.col("e.freqs").alias("freq"),
-            F.col("e.fnids").alias("fnid"),
+            F.col("e.docid").alias("docid"),
+            F.col("e.freq").alias("freq"),
+            F.col("e.fnid").alias("fnid"),
         )
 
     def _score_block_subset(
@@ -471,13 +471,13 @@ class SearchEngine:
             .select(
                 "ord",
                 "off",
-                F.explode(F.arrays_zip("docids", "fnids", "positions")).alias("e"),
+                F.explode("entries").alias("e"),
             )
             .select(
                 "ord",
                 "off",
-                F.col("e.docids").alias("docid"),
-                F.col("e.fnids").alias("fnid"),
+                F.col("e.docid").alias("docid"),
+                F.col("e.fnid").alias("fnid"),
                 F.col("e.positions").alias("positions"),
             )
         )
@@ -582,7 +582,7 @@ class SearchEngine:
             postings.where(
                 (F.col("field") == leaf.field) & F.col("term").isin(terms)
             )
-            .select(F.explode("docids").alias("docid"))
+            .select(F.explode(F.col("entries.docid")).alias("docid"))
             .distinct()
         )
         return matched.select(

@@ -44,6 +44,8 @@ class OracleIndex:
         keyword_fields: Sequence[str] = ("id",),
         i64_fields: Sequence[str] = (),
         sort_key=None,
+        analyzers: Optional[dict] = None,
+        derived_prefix_fields: Optional[dict] = None,
     ):
         """``docs`` are dicts with at least ``doc_id`` plus field values.
 
@@ -69,15 +71,33 @@ class OracleIndex:
         self.tf_cache: dict[str, np.ndarray] = {}
         self.avgdl: dict[str, float] = {}
 
+        analyzers = dict(analyzers or {})
+        derived = dict(derived_prefix_fields or {})
         for field in self.text_fields:
+            analyzer = analyzers.get(field, "default")
+            source = derived.get(field, field)
             doclens = np.zeros(self.n_docs, dtype=np.int64)
             buckets: dict[str, dict[int, list[int]]] = {}
             for docid, doc in enumerate(self.docs):
-                toks = analyze_positional(str(doc.get(field) or ""))
-                # doc length counts every analyzer token (incl. rejected ones
-                # never appear here; admission is byte-bounded and identical
-                # on both sides)
-                doclens[docid] = len(toks)
+                text = str(doc.get(source) or "")
+                if analyzer == "default":
+                    toks = analyze_positional(text)
+                    # doc length counts every analyzer token (rejected ones
+                    # never appear; admission is byte-bounded, both sides)
+                    doclens[docid] = len(toks)
+                else:
+                    from .functions.cass_analyze import (
+                        cass_generate_edge_ngrams,
+                        cass_token_stream,
+                    )
+
+                    if field in derived:
+                        text = cass_generate_edge_ngrams(text)
+                    stream, n_positions = cass_token_stream(
+                        text, hyphen_decompose=(analyzer == "cass_hyphen")
+                    )
+                    toks = [(t.position, t.text) for t in stream]
+                    doclens[docid] = n_positions
                 for pos, term in toks:
                     buckets.setdefault(term, {}).setdefault(docid, []).append(pos)
             self.doclens[field] = doclens

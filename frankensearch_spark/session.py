@@ -37,6 +37,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
+        # Shuffle/spill to RAM-backed storage: the sandbox's virtual disk
+        # serializes multi-core shuffles; a real cluster would use local
+        # NVMe (override with SPARK_LOCAL_DIRS).
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

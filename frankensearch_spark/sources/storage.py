@@ -51,6 +51,15 @@ class IndexMeta:
     generation: int = 1
     positions: bool = True
     created_at: float = 0.0
+    #: per-text-field analyzer: "default" | "cass_hyphen" | "cass_prefix";
+    #: missing entries mean "default"
+    analyzers: dict = dc_field(default_factory=dict)
+    #: text fields whose SOURCE is the edge-ngram expansion of another
+    #: column (the CASS *_prefix fields): {field: source_field}
+    derived_prefix_fields: dict = dc_field(default_factory=dict)
+
+    def analyzer_of(self, field: str) -> str:
+        return self.analyzers.get(field, "default")
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, indent=1, sort_keys=True)
