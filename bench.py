@@ -111,6 +111,15 @@ def main() -> None:
             "query_p50_sec": round(statistics.median(latencies), 4),
             "cpus": cpus,
         }
+        # last measured two-cluster-size scaling evidence (bench_scaling.py)
+        scaling_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+        )
+        if os.path.exists(scaling_path):
+            with open(scaling_path) as fh:
+                scaling = json.load(fh)
+            out["scaling_efficiency"] = scaling.get("efficiency")
+            out["scaling_runs"] = scaling.get("runs")
         print(json.dumps(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)

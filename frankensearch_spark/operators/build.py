@@ -54,6 +54,10 @@ from ..functions.analyze import tokenize_batch
 from ..functions.contract import POSTINGS_PER_BLOCK, fieldnorm_to_id
 from ..sources.storage import IndexMeta, IndexStorage
 
+#: Auto-sizing target: one segment ≈ one docid lease span (bounded
+#: per-(segment, term) shuffle-group state — the Q1 skew discipline).
+TARGET_DOCS_PER_SEGMENT = 1 << 18
+
 
 def build_index(
     spark: SparkSession,
@@ -95,7 +99,22 @@ def build_index(
     )
 
     if num_segments is None:
-        num_segments = max(4, min(spark.sparkContext.defaultParallelism, 64))
+        # Segment sizing IS the skew bound (the reference's 64Ki-doc lease
+        # discipline, scribe.rs:82): a term's postings per (segment, term)
+        # group are capped by the segment's doc count, so no single shuffle
+        # group can exceed target_docs_per_segment postings regardless of
+        # how skewed the term distribution is.  One cheap count() sizes the
+        # build; at 10^12 turns this yields ~10^7 manifest rows, which is
+        # Iceberg-manifest scale, not a bottleneck.
+        n_docs = df.count()
+        num_segments = max(
+            4,
+            min(
+                -(-n_docs // TARGET_DOCS_PER_SEGMENT),
+                spark.sparkContext.defaultParallelism * 4,
+            ),
+        )
+        num_segments = max(num_segments, min(spark.sparkContext.defaultParallelism, 64))
 
     # Fresh build: clear any prior generation so dynamic partition
     # overwrite cannot leave stale segment directories behind.
@@ -150,7 +169,13 @@ def append_segment_batch(
         docid_base=docid_base,
         segment_base=segment_base,
     )
-    analyzed.persist()
+    from pyspark import StorageLevel
+
+    # DISK_ONLY: the tokenized frame is read by four downstream stages but
+    # must not occupy unified heap memory (it starves the posting build's
+    # sort/write execution memory); spark.local.dir points at RAM-backed
+    # storage locally, and real clusters get NVMe-speed re-reads.
+    analyzed.persist(StorageLevel.DISK_ONLY)
     try:
         analyzed.count()  # materialize once; later stages reuse the cache
         ranged.unpersist()
@@ -165,11 +190,22 @@ def write_segment_tables(
     analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta, mode: str
 ) -> None:
     """Write docs/doclens/postings/terms/field_stats/manifest for the
-    analyzed frame (docid+segment assigned, token arrays per text field)."""
-    _write_docs(analyzed, storage, meta, mode)
-    _write_doclens(analyzed, storage, meta, mode)
-    _write_postings_and_terms(analyzed, storage, meta, mode)
-    _write_stats_and_manifest(analyzed, storage, meta, mode)
+    analyzed frame (docid+segment assigned, token arrays per text field).
+
+    The segment-partitioned tables ALWAYS write mode="overwrite" under
+    dynamic partition overwrite: only this batch's own segment_id
+    partitions are replaced, which makes a crashed batch's re-run
+    idempotent (replay replaces its partial files instead of appending
+    duplicates).  The unpartitioned stats/manifest tables append —
+    possible crash-replay duplicates are deduplicated by every reader —
+    except on the initial full build (mode="overwrite"), which resets them.
+    """
+    _write_docs(analyzed, storage, meta, "overwrite")
+    _write_doclens(analyzed, storage, meta, "overwrite")
+    _write_postings_and_terms(analyzed, storage, meta, "overwrite")
+    _write_stats_and_manifest(
+        analyzed, storage, meta, "overwrite" if mode == "overwrite" else "append"
+    )
 
 
 # ── step 1+2: docid assignment + tokenization ──────────────────────────────
@@ -404,23 +440,29 @@ def _write_postings_and_terms(
         *([F.col("positions")] if meta.positions else []),
     )
     agg = blocked.groupBy("segment_id", "bucket", "field", "term", "block_id").agg(
-        F.sort_array(F.collect_list(entry)).alias("entries")
+        F.sort_array(F.collect_list(entry)).alias("packed")
     )
-    # Posting blocks persist the entries struct array directly: Parquet
-    # columnarizes struct fields, so docids/freqs/fnids/positions still
-    # lay out as contiguous encoded columns, without the five array-copy
-    # transform() projections of a flattened layout.
+    # Posting blocks persist (docid, freq, fnid) as one struct array and
+    # the (large) positions as a PARALLEL column: Parquet columnarizes
+    # both, and keeping positions outside the scoring struct lets column
+    # pruning skip position bytes entirely on non-phrase queries (nested
+    # pruning cannot reach through the explode otherwise).
     postings = agg.select(
         "segment_id",
         "field",
         "term",
         "block_id",
         "bucket",
-        F.element_at("entries", 1)["docid"].alias("first_doc"),
-        F.size("entries").cast("int").alias("count"),
-        F.least(F.expr("array_max(entries.freq)"), F.lit(255)).cast("int").alias("max_freq_code"),
-        F.expr("array_min(entries.fnid)").cast("int").alias("min_fnid"),
-        "entries",
+        F.element_at("packed", 1)["docid"].alias("first_doc"),
+        F.size("packed").cast("int").alias("count"),
+        F.least(F.expr("array_max(packed.freq)"), F.lit(255)).cast("int").alias("max_freq_code"),
+        F.expr("array_min(packed.fnid)").cast("int").alias("min_fnid"),
+        F.expr(
+            "transform(packed, e -> struct(e.docid as docid, e.freq as freq, e.fnid as fnid))"
+        ).alias("entries")
+        if meta.positions
+        else F.col("packed").alias("entries"),
+        *([F.expr("transform(packed, e -> e.positions)").alias("positions")] if meta.positions else []),
     )
     (
         postings.write.mode(mode)

@@ -143,6 +143,7 @@ class IndexMaintenance:
             for r in self.storage.read("manifest")
             .where(F.col("segment_id").isin(live))
             .select("segment_id", "doc_count")
+            .dropDuplicates(["segment_id"])
             .collect()
         }
         return {
@@ -184,6 +185,7 @@ class IndexMaintenance:
             self.storage.read("manifest")
             .where(F.col("segment_id").isin(self.storage.live_segments()))
             .select("segment_id", "docid_lo", "docid_hi")
+            .dropDuplicates(["segment_id"])
             .orderBy("docid_lo")
             .collect()
         )
@@ -258,6 +260,7 @@ class IndexMaintenance:
         stats = (
             self.storage.read("field_stats")
             .where(F.col("segment_id").isin(segment_ids))
+            .dropDuplicates(["segment_id", "field"])
             .groupBy("field")
             .agg(
                 F.sum("doc_count").cast("long").alias("doc_count"),
@@ -317,25 +320,40 @@ class IndexMaintenance:
             )
         # postings: explode entries, drop dead docids, re-pack 128-blocks
         postings = self.storage.read("postings").where(F.col("segment_id").isin(srcs))
-        has_positions = "positions" in self.storage.read("postings").select(
-            F.expr("entries[0]")
-        ).schema[0].dataType.names
-        exploded = postings.select(
-            "segment_id",
-            "field",
-            "term",
-            "bucket",
-            F.explode("entries").alias("e"),
-        ).select(
-            "segment_id",
-            "field",
-            "term",
-            "bucket",
-            F.col("e.docid").alias("docid"),
-            F.col("e.freq").alias("freq"),
-            F.col("e.fnid").alias("fnid"),
-            *([F.col("e.positions").alias("positions")] if has_positions else []),
-        )
+        has_positions = "positions" in postings.columns
+        if has_positions:
+            exploded = postings.select(
+                "segment_id",
+                "field",
+                "term",
+                "bucket",
+                F.explode(F.arrays_zip("entries", "positions")).alias("e"),
+            ).select(
+                "segment_id",
+                "field",
+                "term",
+                "bucket",
+                F.col("e.entries.docid").alias("docid"),
+                F.col("e.entries.freq").alias("freq"),
+                F.col("e.entries.fnid").alias("fnid"),
+                F.col("e.positions").alias("positions"),
+            )
+        else:
+            exploded = postings.select(
+                "segment_id",
+                "field",
+                "term",
+                "bucket",
+                F.explode("entries").alias("e"),
+            ).select(
+                "segment_id",
+                "field",
+                "term",
+                "bucket",
+                F.col("e.docid").alias("docid"),
+                F.col("e.freq").alias("freq"),
+                F.col("e.fnid").alias("fnid"),
+            )
         survivors = exploded.join(F.broadcast(dead), on="docid", how="left_anti")
         w = Window.partitionBy("segment_id", "field", "term").orderBy("docid")
         blocked = survivors.withColumn(
@@ -351,7 +369,7 @@ class IndexMaintenance:
             *([F.col("positions")] if has_positions else []),
         )
         agg = blocked.groupBy("segment_id", "field", "term", "bucket", "block_id").agg(
-            F.sort_array(F.collect_list(entry)).alias("entries")
+            F.sort_array(F.collect_list(entry)).alias("packed")
         )
         new_postings = agg.select(
             seg_map[F.col("segment_id")].alias("segment_id"),
@@ -359,13 +377,22 @@ class IndexMaintenance:
             "term",
             "block_id",
             "bucket",
-            F.element_at("entries", 1)["docid"].alias("first_doc"),
-            F.size("entries").cast("int").alias("count"),
-            F.least(F.expr("array_max(entries.freq)"), F.lit(255)).cast("int").alias(
+            F.element_at("packed", 1)["docid"].alias("first_doc"),
+            F.size("packed").cast("int").alias("count"),
+            F.least(F.expr("array_max(packed.freq)"), F.lit(255)).cast("int").alias(
                 "max_freq_code"
             ),
-            F.expr("array_min(entries.fnid)").cast("int").alias("min_fnid"),
-            "entries",
+            F.expr("array_min(packed.fnid)").cast("int").alias("min_fnid"),
+            F.expr(
+                "transform(packed, e -> struct(e.docid as docid, e.freq as freq, e.fnid as fnid))"
+            ).alias("entries")
+            if has_positions
+            else F.col("packed").alias("entries"),
+            *(
+                [F.expr("transform(packed, e -> e.positions)").alias("positions")]
+                if has_positions
+                else []
+            ),
         )
         new_postings.write.mode("append").partitionBy("segment_id", "bucket").parquet(
             self.storage.path("postings")
@@ -435,8 +462,10 @@ class IndexMaintenance:
             F.lit("sealed").alias("status"),
             F.lit(time.time()).alias("built_at"),
         )
-        manifest = self.storage.read("manifest").where(
-            ~F.col("segment_id").isin(srcs)
+        manifest = (
+            self.storage.read("manifest")
+            .where(~F.col("segment_id").isin(srcs))
+            .dropDuplicates(["segment_id"])
         )
         self.storage.atomic_rewrite("manifest", manifest.unionByName(new_rows))
         if self.storage.table_exists("tombstones"):

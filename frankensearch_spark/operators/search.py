@@ -28,6 +28,7 @@ survey), re-expressed as one declarative DataFrame plan:
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Iterator, Optional
 
@@ -79,7 +80,13 @@ class SearchEngine:
         # snapshot stats: N (total docs) and avgdl per field, from the live
         # segments' at-seal rows (tombstones do NOT adjust stats until
         # compaction — reference quiver.rs:11877)
-        stats = self._read_live("field_stats").collect()
+        # dropDuplicates: a crash-rerun batch may append identical stats
+        # rows (bulk.py's idempotence contract); dedupe keeps sums exact
+        stats = (
+            self._read_live("field_stats")
+            .dropDuplicates(["segment_id", "field"])
+            .collect()
+        )
         seg_docs: dict[int, int] = {}
         tokens: dict[str, int] = {}
         for r in stats:
@@ -95,6 +102,12 @@ class SearchEngine:
         }
         #: (field, term) -> doc_freq resolved this session (dictionary probes)
         self._doc_freq_cache: dict[tuple[str, str], int] = {}
+        #: ranked query cache keyed by (query, limit, offset, exact_count);
+        #: valid for this engine's lifetime because the engine is pinned to
+        #: one snapshot (reference index.rs:7407 keys by snapshot epoch —
+        #: here reopen() discards the engine and the cache with it)
+        self._query_cache: "OrderedDict[tuple, SearchResult]" = OrderedDict()
+        self.query_cache_capacity = 128
 
     # ── public API ────────────────────────────────────────────────────────
 
@@ -105,6 +118,30 @@ class SearchEngine:
         offset: int = 0,
         exact_count: bool = False,
         prune: bool = False,
+    ) -> SearchResult:
+        # prune is part of the key so the pruned-vs-exhaustive differential
+        # suite really exercises both plans (their results are identical by
+        # the rank-exact contract, but the cache must not mask a regression)
+        cache_key = (repr(query), limit, offset, exact_count, prune)
+        cached = self._query_cache.get(cache_key)
+        if cached is not None:
+            self._query_cache.move_to_end(cache_key)
+            return SearchResult(hits=cached.hits.copy(), total_count=cached.total_count)
+        result = self._search_uncached(query, limit, offset, exact_count, prune)
+        self._query_cache[cache_key] = SearchResult(
+            hits=result.hits.copy(), total_count=result.total_count
+        )
+        if len(self._query_cache) > self.query_cache_capacity:
+            self._query_cache.popitem(last=False)
+        return result
+
+    def _search_uncached(
+        self,
+        query: q.Query | str,
+        limit: int,
+        offset: int,
+        exact_count: bool,
+        prune: bool,
     ) -> SearchResult:
         tree = self._parse(query)
         plan = compile_query(q.canonicalize_query(tree))
@@ -471,13 +508,13 @@ class SearchEngine:
             .select(
                 "ord",
                 "off",
-                F.explode("entries").alias("e"),
+                F.explode(F.arrays_zip("entries", "positions")).alias("e"),
             )
             .select(
                 "ord",
                 "off",
-                F.col("e.docid").alias("docid"),
-                F.col("e.fnid").alias("fnid"),
+                F.col("e.entries.docid").alias("docid"),
+                F.col("e.entries.fnid").alias("fnid"),
                 F.col("e.positions").alias("positions"),
             )
         )

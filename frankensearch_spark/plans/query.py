@@ -216,6 +216,22 @@ class ParsedQuery:
     was_truncated: bool = False
 
 
+def classify_query(query: str) -> str:
+    """Incumbent-compatible query classification for telemetry
+    (reference: ``query.rs:461`` classify_query): "empty", "phrase"
+    (fully quoted), "simple" (one whitespace token), else "boolean"."""
+    trimmed = query.strip()
+    if not trimmed:
+        return "empty"
+    if (trimmed.startswith('"') and trimmed.endswith('"')) or (
+        trimmed.startswith("'") and trimmed.endswith("'")
+    ):
+        return "phrase"
+    if len(trimmed.split()) <= 1:
+        return "simple"
+    return "boolean"
+
+
 def truncated_prefix(query: str) -> tuple[str, bool]:
     """Truncate to MAX_QUERY_LENGTH Unicode scalar values (char-safe)."""
     if len(query) <= MAX_QUERY_LENGTH:
