@@ -518,6 +518,53 @@ class SearchEngine:
                 F.col("e.positions").alias("positions"),
             )
         )
+        if leaf.slop == 0:
+            # Slop-0 adjacency entirely JVM-side: one docid-conjunction of
+            # the member terms' posting frames, start positions = chained
+            # array_intersect over offset-shifted position sets (duplicate
+            # positions within a doc collapse via array_distinct, matching
+            # the reference's set semantics).  The surviving candidate set
+            # (docs containing ALL terms) is tiny, and the exact f32 score
+            # reuses the shared per-posting scorer with f = occurrences.
+            def shifted_by(off: int):
+                return lambda p: p - F.lit(int(off))
+
+            joined = None
+            inter = None
+            for i in range(n_terms):
+                fi = (
+                    rows.where(F.col("ord") == i)
+                    .select(
+                        "docid",
+                        *(["fnid"] if i == 0 else []),
+                        F.array_distinct(
+                            F.transform("positions", shifted_by(offsets[i]))
+                        ).alias(f"shift_{i}"),
+                    )
+                )
+                if joined is None:
+                    joined = fi
+                    inter = F.col("shift_0")
+                else:
+                    joined = joined.join(fi, on="docid", how="inner")
+                    inter = F.array_intersect(inter, F.col(f"shift_{i}"))
+            cand = (
+                joined.select(
+                    "docid", "fnid", F.size(inter).alias("freq")
+                )
+                .where(F.col("freq") > 0)
+                .select(
+                    F.lit(leaf.leaf_id).alias("leaf_id"),
+                    F.lit(leaf.field).alias("field"),
+                    F.lit(weight).cast("float").alias("weight"),
+                    "docid",
+                    "freq",
+                    "fnid",
+                )
+            )
+            return self._score_rows(cand)
+
+        # slop > 0 (not used by any shipped parser path): per-doc fallback
         cache = self.tf_cache[leaf.field]
         leaf_id = leaf.leaf_id
         slop = leaf.slop
@@ -541,7 +588,7 @@ class SearchEngine:
                     sub = grp[grp["ord"] == ord_i].iloc[0]
                     base = np.asarray(sub["positions"], dtype=np.int64) - int(sub["off"])
                     sets.append(set(base.tolist()))
-                starts = set.intersection(*sets) if slop == 0 else _slop_starts(sets, slop)
+                starts = _slop_starts(sets, slop)
                 occurrences = len(starts)
                 if occurrences == 0:
                     continue
