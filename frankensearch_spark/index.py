@@ -164,6 +164,18 @@ class LexicalIndex:
         self.reopen()
         return n
 
+    def delete_frame(self, ids: DataFrame) -> int:
+        """Distributed bulk delete: ``ids`` is a doc_id DataFrame."""
+        n = self.maintenance.delete_frame(ids)
+        self.reopen()
+        return n
+
+    def delete_all(self) -> int:
+        """Tombstone every live document (reference writer delete_all)."""
+        n = self.maintenance.delete_all()
+        self.reopen()
+        return n
+
     @property
     def engine(self) -> SearchEngine:
         if self._engine is None:
@@ -202,5 +214,9 @@ class LexicalIndex:
             max_chars=max_chars,
         )
 
-    def collect_docids(self, query: q.Query | str) -> list[int]:
-        return self.engine.collect_docids(query)
+    def docid_frame(self, query: q.Query | str) -> Optional[DataFrame]:
+        """Matching docids as a DataFrame (the distributed DocSet path)."""
+        return self.engine.docid_frame(query)
+
+    def collect_docids(self, query: q.Query | str, max_rows: int = 1_000_000) -> list[int]:
+        return self.engine.collect_docids(query, max_rows=max_rows)

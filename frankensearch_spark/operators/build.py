@@ -59,6 +59,25 @@ from ..sources.storage import IndexMeta, IndexStorage
 TARGET_DOCS_PER_SEGMENT = 1 << 18
 
 
+def content_hash_expr(meta: "IndexMeta", df: DataFrame):
+    """The per-doc content witness: xxhash64 over the text source columns.
+
+    Analogue of the reference's xxh3 content hash (``index.rs:10231``,
+    ``storage/src/content_hash.rs``): a cheap identity that lets upsert
+    skip re-indexing docs whose content is unchanged.  Columns are taken
+    in sorted name order; missing/null columns hash as '' so the build
+    side and an upsert batch (which may omit derived sources) agree.
+    """
+    sources = sorted({meta.derived_prefix_fields.get(f, f) for f in meta.text_fields})
+    cols = [
+        F.coalesce(F.col(s).cast("string"), F.lit(""))
+        if s in df.columns
+        else F.lit("")
+        for s in sources
+    ]
+    return F.xxhash64(*cols)
+
+
 def build_index(
     spark: SparkSession,
     df: DataFrame,
@@ -145,6 +164,7 @@ def append_segment_batch(
     docid_base: int,
     segment_base: int,
     mode: str = "append",
+    pre_publish=None,
 ) -> list[int]:
     """Tokenize + index one batch of documents as ``num_segments`` new
     segments starting at ``segment_base`` with docids from ``docid_base``.
@@ -179,7 +199,7 @@ def append_segment_batch(
     try:
         analyzed.count()  # materialize once; later stages reuse the cache
         ranged.unpersist()
-        write_segment_tables(analyzed, storage, meta, mode=mode)
+        write_segment_tables(analyzed, storage, meta, mode=mode, pre_publish=pre_publish)
     finally:
         analyzed.unpersist()
         spark.conf.set(coalesce_key, prev_coalesce)
@@ -187,7 +207,11 @@ def append_segment_batch(
 
 
 def write_segment_tables(
-    analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta, mode: str
+    analyzed: DataFrame,
+    storage: IndexStorage,
+    meta: IndexMeta,
+    mode: str,
+    pre_publish=None,
 ) -> None:
     """Write docs/doclens/postings/terms/field_stats/manifest for the
     analyzed frame (docid+segment assigned, token arrays per text field).
@@ -199,13 +223,20 @@ def write_segment_tables(
     duplicates).  The unpartitioned stats/manifest tables append —
     possible crash-replay duplicates are deduplicated by every reader —
     except on the initial full build (mode="overwrite"), which resets them.
+
+    ``pre_publish`` (if given) runs after every data table is durable but
+    BEFORE the manifest append — the publish point.  Upsert stages its
+    tombstones there so delete-of-old and add-of-new become visible in
+    the same manifest generation (atomic for readers).
     """
     _write_docs(analyzed, storage, meta, "overwrite")
     _write_doclens(analyzed, storage, meta, "overwrite")
     _write_postings_and_terms(analyzed, storage, meta, "overwrite")
-    _write_stats_and_manifest(
-        analyzed, storage, meta, "overwrite" if mode == "overwrite" else "append"
-    )
+    sm_mode = "overwrite" if mode == "overwrite" else "append"
+    seg = _write_stats(analyzed, storage, meta, sm_mode)
+    if pre_publish is not None:
+        pre_publish()
+    _write_manifest(seg, storage, meta, sm_mode)
 
 
 # ── step 1+2: docid assignment + tokenization ──────────────────────────────
@@ -231,6 +262,7 @@ def _assign_docids_and_tokenize(
     ]
     ranged = (
         df.select(*dict.fromkeys(select_cols))
+        .withColumn("content_hash", content_hash_expr(meta, df))
         .repartitionByRange(num_segments, *sort_cols)
         .sortWithinPartitions(*sort_cols)
     )
@@ -254,6 +286,7 @@ def _assign_docids_and_tokenize(
         StructField("docid", LongType(), False),
         StructField("segment_id", IntegerType(), False),
         StructField("doc_id", StringType(), False),
+        StructField("content_hash", LongType(), False),
     ]
     for name in passthrough:
         out_fields.append(df.schema[name])
@@ -288,6 +321,7 @@ def _assign_docids_and_tokenize(
             out["docid"] = range(offset, offset + n)
             out["segment_id"] = segment_base + pid
             out["doc_id"] = pdf["doc_id"].astype(str).values
+            out["content_hash"] = pdf["content_hash"].values
             for name in passthrough:
                 out[name] = pdf[name].values
             for f in meta.text_fields:
@@ -497,9 +531,9 @@ def _write_postings_and_terms(
     )
 
 
-def _write_stats_and_manifest(
+def _write_stats(
     analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta, mode: str
-) -> None:
+) -> DataFrame:
     aggs = [
         F.count("*").alias("doc_count"),
         F.min("docid").alias("docid_lo"),
@@ -524,7 +558,12 @@ def _write_stats_and_manifest(
     for r in rows[1:]:
         stats = stats.unionByName(r)
     stats.coalesce(1).write.mode(mode).parquet(storage.path("field_stats"))
+    return seg
 
+
+def _write_manifest(
+    seg: DataFrame, storage: IndexStorage, meta: IndexMeta, mode: str
+) -> None:
     manifest = seg.select(
         F.lit(meta.generation).alias("generation"),
         "segment_id",

@@ -11,8 +11,11 @@ immutable; ``index.rs:5489`` index_documents_with_replacements;
   Readers pin the manifest's live segment set, so concurrent queries keep
   seeing the previous generation until the manifest swap (snapshot
   isolation, Iceberg-style).
-* **Delete** appends ``(segment_id, docid)`` tombstones; segment files are
-  untouched and BM25 stats stay at-seal (reference ``quiver.rs:11877``).
+* **Delete** appends ``(segment_id, docid, generation)`` tombstones;
+  segment files are untouched and BM25 stats stay at-seal (reference
+  ``quiver.rs:11877``).  The generation tag gates visibility: readers
+  honor only tombstones whose generation <= their pinned manifest
+  generation, which is what makes upsert atomic for readers.
 * **Upsert** = tombstone the previous docids of matching doc_ids + index
   the batch as NEW segments under NEW docids from the high-watermark
   (docids are monotone, never reused — ``argus.rs:32``).
@@ -65,16 +68,37 @@ class IndexMaintenance:
     def delete(self, doc_ids: Sequence[str]) -> int:
         """Tombstone every live doc whose ``doc_id`` is in ``doc_ids``.
 
-        Returns the number of newly tombstoned docids.  The docs table is
-        the IDHASH analogue: doc_id -> docid resolution is a join.
+        Returns the number of newly tombstoned docids.  The list form is
+        for small interactive deletes; bulk deletes should pass a frame
+        to :meth:`delete_frame` (nothing is collected to the driver).
         """
         if not doc_ids:
             return 0
+        ids = self.spark.createDataFrame(
+            [(str(i),) for i in doc_ids], "doc_id string"
+        )
+        return self.delete_frame(ids)
+
+    def delete_frame(
+        self, ids: DataFrame, generation: Optional[int] = None
+    ) -> int:
+        """Tombstone live docs matching ``ids`` (a doc_id frame) — fully
+        distributed: identity resolution is a join against the docs table
+        (the IDHASH analogue), never a driver-side list.
+
+        ``generation`` tags the rows with the manifest generation at which
+        they become visible; default = the CURRENT generation (immediately
+        visible to newly-opened readers).  Upsert passes the NEXT
+        generation so its deletes stay invisible until its own manifest
+        append (atomic replace).
+        """
+        if generation is None:
+            generation = self.storage.current_generation()
         live = self.storage.live_segments()
         docs = (
             self.storage.read("docs")
             .where(F.col("segment_id").isin(live))
-            .where(F.col("doc_id").isin(list(doc_ids)))
+            .join(ids.select("doc_id").distinct(), on="doc_id", how="leftsemi")
             .select("segment_id", "docid")
         )
         if self.storage.table_exists("tombstones"):
@@ -84,7 +108,9 @@ class IndexMaintenance:
                 how="left_anti",
             )
         docs = docs.select(
-            F.col("docid").cast("long"), F.col("segment_id").cast("int")
+            F.col("docid").cast("long"),
+            F.col("segment_id").cast("int"),
+            F.lit(int(generation)).cast("long").alias("generation"),
         ).persist()
         try:
             n = docs.count()  # stays distributed — no driver materialization
@@ -96,6 +122,16 @@ class IndexMaintenance:
         finally:
             docs.unpersist()
 
+    def delete_all(self) -> int:
+        """Tombstone every live doc (reference writer ``delete_all``)."""
+        live = self.storage.live_segments()
+        ids = (
+            self.storage.read("docs")
+            .where(F.col("segment_id").isin(live))
+            .select("doc_id")
+        )
+        return self.delete_frame(ids)
+
     def upsert(
         self,
         df: DataFrame,
@@ -104,25 +140,74 @@ class IndexMaintenance:
     ) -> list[int]:
         """Replace-or-add a batch: tombstone old docids, index under new.
 
-        Mirrors ``index_documents_with_replacements`` (index.rs:5489):
-        upsert = delete(old identity) + add(new docid); commit = manifest
-        append (visibility) after all segment tables are written.
+        Mirrors ``index_documents_with_replacements`` (index.rs:5489) with
+        two Spark-scale refinements:
+
+        * **Content-hash skip** (reference xxh3 witness, index.rs:10231):
+          docs whose (doc_id, content_hash) already exists live are NOT
+          re-indexed — watch-mode re-saves of unchanged files cost one
+          anti-join, zero writes.
+        * **Atomic replace**: tombstones are staged tagged with the NEXT
+          generation and written just before the new segments' manifest
+          append, so a reader opening mid-upsert sees either the complete
+          old generation or the complete new one, never deletes without
+          replacements.  Crash between the two writes = replay the batch
+          (same crash-only contract as bulk load).
+
+        Everything is joins; no doc_id list ever lands on the driver.
         """
-        batch_ids = [r["doc_id"] for r in df.select("doc_id").distinct().collect()]
-        self.delete(batch_ids)
-        docid_base, segment_base = self.storage.next_bases()
-        segments = append_segment_batch(
-            self.spark,
-            df,
-            self.storage,
-            self.meta,
-            sort_cols=list(sort_cols),
-            num_segments=num_segments,
-            docid_base=docid_base,
-            segment_base=segment_base,
-        )
-        self._bump_generation()
-        return segments
+        from .build import content_hash_expr
+
+        batch = df.withColumn("_chash", content_hash_expr(self.meta, df))
+        live_segs = self.storage.live_segments()
+        changed = batch
+        if live_segs and self.storage.table_exists("docs"):
+            docs = self.storage.read("docs").where(
+                F.col("segment_id").isin(live_segs)
+            )
+            if "content_hash" in docs.columns:
+                identical = docs.select(
+                    "doc_id", F.col("content_hash").alias("_chash"), "docid"
+                )
+                if self.storage.table_exists("tombstones"):
+                    identical = identical.join(
+                        self.storage.read("tombstones").select("docid"),
+                        on="docid",
+                        how="left_anti",
+                    )
+                changed = batch.join(
+                    identical.select("doc_id", "_chash").distinct(),
+                    on=["doc_id", "_chash"],
+                    how="left_anti",
+                )
+        changed = changed.drop("_chash").persist()
+        try:
+            if changed.isEmpty():
+                return []
+            gen_next = self.storage.current_generation() + 1
+            docid_base, segment_base = self.storage.next_bases()
+            self.meta.generation = gen_next
+
+            def stage_tombstones():
+                self.delete_frame(
+                    changed.select("doc_id"), generation=gen_next
+                )
+
+            segments = append_segment_batch(
+                self.spark,
+                changed,
+                self.storage,
+                self.meta,
+                sort_cols=list(sort_cols),
+                num_segments=num_segments,
+                docid_base=docid_base,
+                segment_base=segment_base,
+                pre_publish=stage_tombstones,
+            )
+            self.storage.write_meta(self.meta)
+            return segments
+        finally:
+            changed.unpersist()
 
     # ── compaction ────────────────────────────────────────────────────────
 
@@ -227,14 +312,19 @@ class IndexMaintenance:
         segment_ids = sorted(segment_ids)
         _, out_seg = self.storage.next_bases()
         mapping = {s: out_seg for s in segment_ids}
-        # docs / doclens / terms / postings: re-key to the output segment
+        # docs / doclens / terms / postings: re-key to the output segment.
+        # mode("overwrite") + dynamic partition overwrite replaces exactly
+        # the output segment's partitions, so a merge that crashed after
+        # some writes re-runs idempotently (next_bases reads the unswapped
+        # manifest and re-mints the SAME out_seg — append would double
+        # every row on replay).
         for table in ("docs", "doclens"):
             df = (
                 self.storage.read(table)
                 .where(F.col("segment_id").isin(segment_ids))
                 .withColumn("segment_id", F.lit(out_seg))
             )
-            df.write.mode("append").partitionBy("segment_id").parquet(
+            df.write.mode("overwrite").partitionBy("segment_id").parquet(
                 self.storage.path(table)
             )
         terms = (
@@ -244,7 +334,7 @@ class IndexMaintenance:
             .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
             .withColumn("segment_id", F.lit(out_seg))
         )
-        terms.write.mode("append").partitionBy("segment_id", "bucket").parquet(
+        terms.write.mode("overwrite").partitionBy("segment_id", "bucket").parquet(
             self.storage.path("terms")
         )
         w = Window.partitionBy("field", "term").orderBy("first_doc")
@@ -254,7 +344,7 @@ class IndexMaintenance:
             .withColumn("segment_id", F.lit(out_seg))
             .withColumn("block_id", (F.row_number().over(w) - F.lit(1)).cast("int"))
         )
-        postings.write.mode("append").partitionBy("segment_id", "bucket").parquet(
+        postings.write.mode("overwrite").partitionBy("segment_id", "bucket").parquet(
             self.storage.path("postings")
         )
         stats = (
@@ -315,7 +405,9 @@ class IndexMaintenance:
                 .join(F.broadcast(dead), on="docid", how="left_anti")
                 .withColumn("segment_id", seg_map[F.col("segment_id")])
             )
-            df.write.mode("append").partitionBy("segment_id").parquet(
+            # dynamic partition overwrite: crash-replay idempotence (the
+            # retry re-mints the same output ids and replaces, not appends)
+            df.write.mode("overwrite").partitionBy("segment_id").parquet(
                 self.storage.path(table)
             )
         # postings: explode entries, drop dead docids, re-pack 128-blocks
@@ -394,7 +486,7 @@ class IndexMaintenance:
                 else []
             ),
         )
-        new_postings.write.mode("append").partitionBy("segment_id", "bucket").parquet(
+        new_postings.write.mode("overwrite").partitionBy("segment_id", "bucket").parquet(
             self.storage.path("postings")
         )
         # fresh dictionary + stats for the output segments
@@ -408,7 +500,7 @@ class IndexMaintenance:
                 F.sum(F.expr("aggregate(entries.freq, 0L, (a, x) -> a + x)")).alias("cf"),
             )
         )
-        terms.write.mode("append").partitionBy("segment_id", "bucket").parquet(
+        terms.write.mode("overwrite").partitionBy("segment_id", "bucket").parquet(
             self.storage.path("terms")
         )
         doclens = self.storage.read("doclens").where(F.col("segment_id").isin(out_segs))
@@ -448,16 +540,37 @@ class IndexMaintenance:
         """
         srcs = sorted(mapping)
         out_segs = sorted(set(mapping.values()))
+        # Docid watermark preservation: if the tombstoned docs held a
+        # segment's min/max docid, recomputing the range from survivors
+        # would SHRINK docid_hi — and next_bases() would re-mint
+        # previously-assigned docids, violating the monotone/never-reused
+        # invariant (argus.rs:32).  The output segment keeps the full
+        # docid span its sources owned.
+        src_spans = (
+            self.storage.read("manifest")
+            .where(F.col("segment_id").isin(srcs))
+            .dropDuplicates(["segment_id"])
+            .select("segment_id", "docid_lo", "docid_hi")
+            .collect()
+        )
+        span_lo: dict[int, int] = {}
+        span_hi: dict[int, int] = {}
+        for r in src_spans:
+            out = mapping[r["segment_id"]]
+            span_lo[out] = min(span_lo.get(out, r["docid_lo"]), r["docid_lo"])
+            span_hi[out] = max(span_hi.get(out, r["docid_hi"]), r["docid_hi"])
+        lo_map = F.create_map(*[F.lit(x) for pair in span_lo.items() for x in pair])
+        hi_map = F.create_map(*[F.lit(x) for pair in span_hi.items() for x in pair])
         doclens = self.storage.read("doclens").where(F.col("segment_id").isin(out_segs))
         new_rows = doclens.groupBy("segment_id").agg(
-            F.min("docid").alias("docid_lo"),
-            (F.max("docid") + F.lit(1)).alias("docid_hi"),
+            F.min("docid").alias("live_lo"),
+            (F.max("docid") + F.lit(1)).alias("live_hi"),
             F.count("*").alias("doc_count"),
         ).select(
             F.lit(self.meta.generation + 1).alias("generation"),
             "segment_id",
-            "docid_lo",
-            "docid_hi",
+            F.least("live_lo", lo_map[F.col("segment_id")]).alias("docid_lo"),
+            F.greatest("live_hi", hi_map[F.col("segment_id")]).alias("docid_hi"),
             "doc_count",
             F.lit("sealed").alias("status"),
             F.lit(time.time()).alias("built_at"),

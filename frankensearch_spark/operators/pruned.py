@@ -152,6 +152,10 @@ class PrunedExecutor:
         scored = self.engine._score_block_subset(leaves, sample)
         if scored is None:
             return float("-inf")
+        # Rank-safety with deletes: a tombstoned doc must not inflate τ —
+        # an overstated threshold prunes blocks holding the true live
+        # top-k (it would only be caught by the differential suite).
+        scored = self.engine._filter_tombstones(scored)
         totals = (
             scored.groupBy("docid")
             .agg(F.sum(F.col("score").cast("double")).alias("total"))
@@ -223,7 +227,11 @@ class PrunedExecutor:
             cand_scored = engine._score_block_subset(live, surviving)
             if cand_scored is None:
                 return None
-            candidates = cand_scored.select("docid").distinct()
+            # Dead docs can't win (they're dropped in _combine anyway);
+            # filtering here keeps the rescore join candidate-minimal.
+            candidates = (
+                engine._filter_tombstones(cand_scored).select("docid").distinct()
+            )
             # Exact rescore of EVERY leaf restricted to the candidate set —
             # a candidate may have contributions in pruned blocks of other
             # leaves, so scores must come from the full postings, filtered

@@ -75,7 +75,14 @@ class SearchEngine:
         # engine instance always queries one generation (the Arc-swap /
         # VERSION AS OF analogue, reference index.rs:7374).
         self.live_segments = self.storage.live_segments()
-        self._has_tombstones = self.storage.table_exists("tombstones")
+        # Tombstones are pinned alongside the segment set: the engine
+        # captures (a) the manifest generation and (b) the tombstone files
+        # present at open, so deletes issued after open are invisible until
+        # reopen() — no mixed-generation reads (reference Arc-swap
+        # isolation), and tombstones staged by an in-flight upsert for the
+        # NEXT generation are gated out until its manifest append.
+        self.generation = self.storage.current_generation()
+        self._tombstones = self.storage.pinned_tombstones(self.generation)
 
         # snapshot stats: N (total docs) and avgdl per field, from the live
         # segments' at-seal rows (tombstones do NOT adjust stats until
@@ -227,16 +234,39 @@ class SearchEngine:
         )
         return SearchResult(hits=hits, total_count=result.total_count)
 
-    def collect_docids(self, query: q.Query | str) -> list[int]:
-        """Scoreless sorted unique docid set (reference: argus.rs:5510)."""
+    def docid_frame(self, query: q.Query | str) -> Optional[DataFrame]:
+        """Scoreless unique docid set as a DataFrame (reference DocSet
+        collector, argus.rs:5510).  This is the scale path: callers join
+        or write the frame; nothing is materialized on the driver.  A
+        broad query over 10^12 turns stays distributed end-to-end."""
         tree = self._parse(query)
         plan = compile_query(q.canonicalize_query(tree))
         if plan.is_empty:
-            return []
+            return None
         scored = self._evaluate(plan)
         if scored is None:
+            return None
+        return scored.select("docid").distinct()
+
+    def collect_docids(
+        self, query: q.Query | str, max_rows: int = 1_000_000
+    ) -> list[int]:
+        """Sorted docid list for SMALL result sets (parity tests, CLI).
+
+        Guarded: raises when the set exceeds ``max_rows`` instead of
+        silently OOMing the driver — use :meth:`docid_frame` for
+        unbounded results.
+        """
+        frame = self.docid_frame(query)
+        if frame is None:
             return []
-        return [r["docid"] for r in scored.select("docid").orderBy("docid").collect()]
+        rows = frame.orderBy("docid").limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ValueError(
+                f"docid set exceeds max_rows={max_rows}; "
+                "use docid_frame() for large results"
+            )
+        return [r["docid"] for r in rows]
 
     # ── internals ─────────────────────────────────────────────────────────
 
@@ -255,12 +285,11 @@ class SearchEngine:
 
         Tombstones live outside the immutable segments (reference plan
         §10.5) and are folded at compaction; until then every query
-        anti-joins the (small, broadcast) tombstone set.
+        anti-joins the (small, broadcast) tombstone set pinned at open.
         """
-        if not self._has_tombstones:
+        if self._tombstones is None:
             return frame
-        dead = self.storage.read("tombstones").select("docid")
-        return frame.join(F.broadcast(dead), on="docid", how="left_anti")
+        return frame.join(F.broadcast(self._tombstones), on="docid", how="left_anti")
 
     def _evaluate(self, plan: EvalPlan) -> Optional[DataFrame]:
         """Return DataFrame (docid long, score float32) of matching docs."""

@@ -35,7 +35,7 @@ from dataclasses import dataclass, field as dc_field
 from enum import Enum
 from typing import Optional, Union
 
-from ..functions.analyze import analyze_positional
+from ..functions.analyze import analyze_positional, tokenize
 from ..functions.contract import MAX_QUERY_DEPTH, MAX_QUERY_LENGTH
 
 CONTENT_FIELD_NAME = "content"
@@ -673,7 +673,16 @@ class _Parser:
             if kind is FieldType.KEYWORD:
                 node = Term(fields=tuple(targets), text=raw)
             elif kind is FieldType.TEXT:
-                toks = analyze_positional(raw)
+                # Oversized-token lowering (contract behavior-quill-
+                # oversized-query-lowering): a token that FAILS admission is
+                # kept as an ordinary term leaf — the index never admits it,
+                # so df=0 by construction, which yields exactly the
+                # contract's lowering table: standalone/Must/Phrase with an
+                # oversized member match nothing (Empty-equivalent), while
+                # Should and MustNot contexts degrade gracefully.  Dropping
+                # the token instead (as plain analysis would) would wrongly
+                # let Must(valid, oversized) match on the valid term alone.
+                toks = [(t.position, t.text) for t in tokenize(raw)]
                 if not toks:
                     self.diagnostics.append(
                         Diagnostic("empty_atom", f"atom {raw!r} produced no tokens")

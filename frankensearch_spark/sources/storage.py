@@ -22,7 +22,9 @@ snapshots with per-partition lineage):
                           doc_count, status, built_at
       index_meta.json     schema + config (buckets, fields, generation)
 
-Postings are directory-partitioned by ``bucket = pmod(xxhash64(term), B)``
+Postings are directory-partitioned by ``bucket = pmod(crc32(term), B)``
+(crc32 because Spark's builtin is bit-identical to Python's ``zlib.crc32``,
+letting the driver prune partition directories for query terms)
 so a query touching a handful of terms prunes to a handful of directories
 regardless of corpus size; ``segment_id`` partitioning gives resumable,
 idempotent per-segment rewrites (the analogue of bulk-load publish cadence,
@@ -37,6 +39,7 @@ import time
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 INDEX_META = "index_meta.json"
 
@@ -127,6 +130,45 @@ class IndexStorage:
             .collect()
         )
         return sorted(r["segment_id"] for r in rows)
+
+    def current_generation(self) -> int:
+        """Highest published manifest generation (0 when no manifest).
+
+        The generation is the visibility gate for tombstones: mutation
+        protocols write tombstone rows tagged with the generation whose
+        manifest append makes them meaningful, so a reader pinned to
+        generation g ignores tombstones staged for g+1 (upsert stays
+        atomic for readers — delete and add become visible together at
+        the manifest append, the reference's publish point).
+        """
+        if not self.table_exists("manifest"):
+            return 0
+        row = self.read("manifest").agg(F.max("generation").alias("g")).collect()[0]
+        return int(row["g"] or 0)
+
+    def pinned_tombstones(self, generation: int):
+        """Tombstoned docids visible at ``generation``, pinned to the
+        tombstone files present right now (snapshot isolation for deletes:
+        tombstones appended after this call are invisible to the caller,
+        mirroring how ``live_segments`` pins the segment set).  Returns a
+        persisted single-column (docid) DataFrame, or None when empty.
+        """
+        root = self.path("tombstones")
+        if not os.path.isdir(root):
+            return None
+        files = sorted(
+            os.path.join(root, f)
+            for f in os.listdir(root)
+            if f.endswith(".parquet")
+        )
+        if not files:
+            return None
+        df = self.spark.read.parquet(*files)
+        if "generation" in df.columns:
+            df = df.where(F.col("generation") <= generation)
+        df = df.select("docid").distinct().persist()
+        df.count()
+        return df
 
     def next_bases(self) -> tuple[int, int]:
         """(next docid, next segment id) from the manifest high-watermarks.

@@ -8,16 +8,21 @@ import pytest
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
 
+#: Conformance fixtures are vendored in-repo (SURVEY §5.2) so the suite is
+#: self-contained; FRANKENSEARCH_REF_FIXTURES can point at a reference
+#: checkout to cross-check against upstream copies instead.
+VENDORED_FIXTURES = Path(__file__).resolve().parent / "fixtures"
 REFERENCE_FIXTURES = Path(
     os.environ.get("FRANKENSEARCH_REF_FIXTURES", "/root/reference/tests/fixtures")
 )
 
 
 def load_reference_fixture(name: str):
-    path = REFERENCE_FIXTURES / name
-    if not path.exists():
-        pytest.skip(f"reference fixture {name} not available at {path}")
-    return json.loads(path.read_text())
+    for root in (VENDORED_FIXTURES, REFERENCE_FIXTURES):
+        path = root / name
+        if path.exists():
+            return json.loads(path.read_text())
+    pytest.skip(f"fixture {name} not available (vendored or reference)")
 
 
 @pytest.fixture(scope="session")
@@ -33,6 +38,11 @@ def corpus_fixture():
 @pytest.fixture(scope="session")
 def queries_fixture():
     return load_reference_fixture("queries.json")
+
+
+@pytest.fixture(scope="session")
+def relevance_fixture():
+    return load_reference_fixture("relevance.json")
 
 
 @pytest.fixture(scope="session")

@@ -165,6 +165,161 @@ def test_tier_merge_planner(spark, batches, tmp_path_factory):
     assert plans and len(plans[0]) == 8  # eight consecutive small segments
 
 
+def test_upsert_unchanged_batch_is_skipped(spark, batches, tmp_path_factory):
+    """Content-hash witness: re-upserting identical docs writes NOTHING
+    (reference xxh3 identity, index.rs:10231) — the watch-mode common case
+    of re-saved-but-unchanged files costs one anti-join."""
+    b1, _ = batches
+    d = str(tmp_path_factory.mktemp("chash_ix"))
+    idx = LexicalIndex.build_transcripts(spark, b1, d, num_segments=2, num_buckets=4)
+    segs_before = idx.storage.live_segments()
+    before = {q: _hits(idx, q) for q in QUERIES}
+    new_segments = idx.maintenance.upsert(
+        transcript_batch_to_docs(b1), sort_cols=("conv_id", "turn_idx")
+    )
+    assert new_segments == []  # zero new segments
+    idx.reopen()
+    assert idx.storage.live_segments() == segs_before
+    assert not idx.storage.table_exists("tombstones")  # zero tombstones
+    for q in QUERIES:
+        assert _hits(idx, q) == before[q], q
+    # a partially-changed batch indexes ONLY the changed docs
+    docs = transcript_batch_to_docs(b1)
+    one = docs.orderBy("doc_id").limit(1).withColumn(
+        "content", F.lit("zzchanged only this one")
+    )
+    mixed = one.unionByName(docs.orderBy("doc_id").offset(1))
+    idx.maintenance.upsert(mixed, sort_cols=("conv_id", "turn_idx"))
+    idx.reopen()
+    changed_id = one.collect()[0]["doc_id"]
+    assert list(idx.search("zzchanged", limit=5).hits["doc_id"]) == [changed_id]
+    # exactly one doc was tombstoned + one new doc indexed
+    assert idx.storage.read("tombstones").count() == 1
+    live = idx.engine._filter_tombstones(
+        idx.engine._read_live("docs").select("docid", "doc_id")
+    )
+    assert live.groupBy("doc_id").count().where("count > 1").count() == 0
+
+
+def test_delete_snapshot_pinning(spark, batches, tmp_path_factory):
+    """Deletes issued after engine open are invisible until reopen()
+    (Arc-swap isolation — round-1 advisory: tombstones were read at query
+    time, leaking mid-snapshot deletes)."""
+    b1, _ = batches
+    d = str(tmp_path_factory.mktemp("pin_ix"))
+    idx = LexicalIndex.build_transcripts(spark, b1, d, num_segments=2, num_buckets=4)
+    engine = idx.engine  # pin the snapshot now
+    before = engine.search("w3", limit=10).hits
+    victims = list(before["doc_id"][:3])
+    idx.maintenance.delete(victims)
+    # pinned engine still sees the deleted docs (same generation snapshot)
+    engine._query_cache.clear()
+    after_pinned = engine.search("w3", limit=10).hits
+    assert list(after_pinned["doc_id"]) == list(before["doc_id"])
+    # a reopened engine sees the deletes
+    idx.reopen()
+    assert not set(victims) & set(idx.search("w3", limit=10).hits["doc_id"])
+
+
+def test_upsert_staged_tombstones_gated_by_generation(spark, batches, tmp_path_factory):
+    """A crash between upsert's tombstone write and its manifest append
+    must leave readers on the complete OLD generation (tombstones staged
+    for g+1 are ignored while the manifest max generation is g)."""
+    b1, _ = batches
+    d = str(tmp_path_factory.mktemp("gate_ix"))
+    idx = LexicalIndex.build_transcripts(spark, b1, d, num_segments=2, num_buckets=4)
+    before = _hits(idx, "w3")
+    g = idx.storage.current_generation()
+    victims = [doc for doc, _ in before[:3]]
+    # simulate the staged (pre-publish) tombstone write of an upsert
+    ids = spark.createDataFrame([(v,) for v in victims], "doc_id string")
+    idx.maintenance.delete_frame(ids, generation=g + 1)
+    idx.reopen()
+    # no manifest row with g+1 exists -> staged deletes are invisible
+    assert _hits(idx, "w3") == before
+
+
+def test_merge_crash_replay_is_idempotent(spark, corpus, tmp_path_factory):
+    """A concat-merge that crashes after data writes but before the
+    manifest swap re-mints the same output segment id on retry; the
+    rewrite must REPLACE its partitions, not append a second copy
+    (round-1 advisory: doubled df/cf and duplicate hits)."""
+    d = str(tmp_path_factory.mktemp("crash_merge_ix"))
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=3, num_buckets=4)
+    before = {q: _hits(idx, q) for q in QUERIES}
+    segs = idx.storage.live_segments()
+    m = idx.maintenance
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before manifest swap")
+
+    m._publish_supersede = crash
+    with pytest.raises(RuntimeError):
+        m.concat_merge(segs)
+    # replay with a fresh maintenance instance (new process analogue)
+    out = idx.maintenance.concat_merge(segs)
+    idx.reopen()
+    assert idx.storage.live_segments() == [out]
+    # no duplicated rows in the merged segment
+    docs = idx.storage.read("docs").where(F.col("segment_id") == out)
+    assert docs.groupBy("docid").count().where("count > 1").count() == 0
+    for q in QUERIES:
+        assert _hits(idx, q) == before[q], q
+
+
+def test_compact_preserves_docid_watermark(spark, batches, tmp_path_factory):
+    """Compacting away the doc holding the global max docid must not
+    shrink the high-watermark — next_bases() would re-mint used docids
+    (round-1 advisory; monotone/never-reused invariant, argus.rs:32)."""
+    b1, _ = batches
+    d = str(tmp_path_factory.mktemp("hwm_ix"))
+    idx = LexicalIndex.build_transcripts(spark, b1, d, num_segments=2, num_buckets=4)
+    hi_before, _ = idx.storage.next_bases()
+    # delete the docs holding the highest docids (plus filler for density)
+    top_docs = (
+        idx.storage.read("docs")
+        .orderBy(F.desc("docid"))
+        .select("doc_id")
+        .limit(SPLIT // 4)
+        .collect()
+    )
+    idx.delete([r["doc_id"] for r in top_docs])
+    assert idx.maintenance.compact(max_density=0.05)
+    idx.reopen()
+    hi_after, _ = idx.storage.next_bases()
+    assert hi_after >= hi_before
+
+
+def test_delete_all(spark, batches, tmp_path_factory):
+    b1, _ = batches
+    d = str(tmp_path_factory.mktemp("delall_ix"))
+    idx = LexicalIndex.build_transcripts(spark, b1, d, num_segments=2, num_buckets=4)
+    n = idx.delete_all()
+    assert n == SPLIT
+    assert idx.search("w3", limit=10).hits.empty
+    assert idx.delete_all() == 0  # idempotent
+
+
+def test_bulk_delete_frame_stays_distributed(spark, batches, tmp_path_factory):
+    """A delete of 10^6 candidate ids must flow through joins, not a
+    driver-side isin list (scale proxy for the driver-OOM class)."""
+    b1, _ = batches
+    d = str(tmp_path_factory.mktemp("bigdel_ix"))
+    idx = LexicalIndex.build_transcripts(spark, b1, d, num_segments=2, num_buckets=4)
+    some_live = [
+        r["doc_id"]
+        for r in idx.storage.read("docs").select("doc_id").limit(5).collect()
+    ]
+    big = spark.range(1_000_000).select(
+        F.concat(F.lit("missing:"), F.col("id").cast("string")).alias("doc_id")
+    )
+    ids = big.unionByName(
+        spark.createDataFrame([(i,) for i in some_live], "doc_id string")
+    )
+    assert idx.delete_frame(ids) == len(some_live)
+    assert not set(some_live) & set(idx.search("w3", limit=400).hits["doc_id"])
+
+
 def test_stream_ingest_equals_batch(spark, batches, bulk, tmp_path_factory):
     b1, b2 = batches
     d = str(tmp_path_factory.mktemp("stream_ix"))

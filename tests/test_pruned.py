@@ -60,3 +60,27 @@ def test_pruned_k_larger_than_matches(built):
     exhaustive = built.search("w9000 w9100", limit=500, prune=False).hits
     pruned = built.search("w9000 w9100", limit=500, prune=True).hits
     assert list(pruned["docid"]) == list(exhaustive["docid"])
+
+
+def test_pruned_equals_exhaustive_after_delete(built):
+    """Rank-safety with tombstones: deleted docs must not inflate the
+    pruning threshold τ (they'd prune blocks holding the live top-k).
+
+    Regression for the round-1 advisory: _seed_threshold scored tombstoned
+    docs, so deleting high-tf docs flipped pruned vs exhaustive results.
+    """
+    # delete the exhaustive top-20 of the target query — exactly the docs
+    # that used to inflate τ
+    top = built.search("w3 w47", limit=20, prune=False).hits
+    built.delete(list(top["doc_id"]))
+    # NOTE: mutates the module-scoped index — keep this the file's last test
+    for query in ["w3 w47", "w1 w2 w3 w4", "w12 w47 w200 w1150 w3000"]:
+        exhaustive = built.search(query, limit=10, prune=False).hits
+        pruned = built.search(query, limit=10, prune=True).hits
+        assert list(pruned["docid"]) == list(exhaustive["docid"]), query
+        assert np.array_equal(
+            np.asarray(pruned["score"], dtype=np.float32),
+            np.asarray(exhaustive["score"], dtype=np.float32),
+        ), query
+        # and none of the deleted docs appear
+        assert not set(pruned["doc_id"]) & set(top["doc_id"]), query
