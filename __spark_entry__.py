@@ -200,7 +200,7 @@ def _q_dedup_ngram(spark, sf_dir):
 
 def _q_embedding_near_dup(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return dedup.embedding_near_dup_pairs(emb, threshold=0.3, n_planes=4)
+    return dedup.embedding_near_dup_pairs(emb, threshold=0.3, n_bands=2, n_rows=2)
 
 
 def _q_embedding_lsh_topk(spark, sf_dir):
@@ -276,9 +276,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dsql.minhash_lsh_pairs_sql(0.2),
         "dedup_simhash": dsql.simhash_sql(),
         "dedup_ngram_jaccard": dsql.ngram_jaccard_pairs_sql(0.2),
-        "embedding_near_dup": dsql.embedding_near_dup_sql(0.3, n_planes=4),
+        "embedding_near_dup": dsql.embedding_near_dup_sql(0.3, n_bands=2, n_rows=2),
         "events_hourly_rollup": dsql.events_hourly_rollup_sql(),
-        # multimodal_decode_meta: rows-only (blake2b-derived dims not SQL)
     }
     try:
         qv = _query_vec("/root/testdata/sf0.01")
@@ -288,4 +287,47 @@ def oracle_sql() -> dict[str, str]:
         )
     except Exception:
         pass  # embeddings unavailable -> rows-only check for these queries
+    try:
+        out["multimodal_decode_meta"] = _multimodal_meta_oracle_sql(
+            "/root/testdata/sf0.01"
+        )
+    except Exception:
+        pass  # documents unavailable -> rows-only check
     return out
+
+
+def _multimodal_meta_oracle_sql(sf_dir: str) -> str:
+    """DuckDB oracle for the media decode stage.
+
+    The FAKE-container dims are a pure function of doc_id
+    (blake2b-derived, ``multimodal.media_dims_for_id``), which SQL cannot
+    express — so the oracle reads a parquet of expected rows precomputed
+    WITHOUT Spark (pure-python hashlib over the corpus doc_ids) and
+    materialized under the repo.  The Spark query must reproduce it via
+    the real attach -> binary column -> mapInPandas decode pipeline.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from frankensearch_spark.operators.multimodal import expected_media_meta
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    doc_ids = [str(v) for v in pq.read_table(src, columns=["doc_id"])["doc_id"].to_pylist()]
+    rows = expected_media_meta(doc_ids)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".oracle_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, "multimodal_meta_sf001.parquet")
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "width": pa.array([r[1] for r in rows], pa.int32()),
+            "height": pa.array([r[2] for r in rows], pa.int32()),
+            "channels": pa.array([r[3] for r in rows], pa.int32()),
+            "n_bytes": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, path)
+    return (
+        "SELECT doc_id, width, height, channels, n_bytes "
+        f"FROM read_parquet('{path}')"
+    )

@@ -45,10 +45,27 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 #: SimHash width: the polynomial hash is < 2^30, so 30 informative bits.
 SIMHASH_BITS = 30
 
-#: Hyperplanes for embedding LSH: pinned seed, 8 planes x 64 dims.
+#: Hyperplanes for embedding LSH: pinned seed, 8 planes x 64 dims (the
+#: single-probe point-query path, :func:`cosine_topk_lsh`).
 EMBED_LSH_SEED = 1337
 EMBED_LSH_PLANES = 8
 EMBED_DIM = 64
+
+#: Banded multi-probe blocking for the near-dup JOIN (OR-of-ANDs like the
+#: MinHash path): candidates must agree on ALL rows of ANY band.  4 bands
+#: x 4 rows = 16 planes; at cos >= 0.9 (sign-agreement p ~ 0.857) recall is
+#: 1-(1-p^4)^4 ~ 0.95 while each band splits the corpus 16 ways — the
+#: N^2/256 blow-up of a single 8-plane bucket join is gone.
+EMBED_LSH_BANDS = 4
+EMBED_LSH_ROWS = 4
+
+#: Per-band bucket cardinality caps: buckets larger than this are DROPPED
+#: from candidate generation (boilerplate/identical content lands one key
+#: with millions of members and would go quadratic; exact/hash dedup is
+#: the right tool for those).  Standard practice at 100 TB; the DuckDB
+#: oracles apply the identical cap so results stay bit-comparable.
+DEFAULT_MINHASH_BUCKET_CAP = 1024
+DEFAULT_EMBED_BUCKET_CAP = 4096
 
 
 def lsh_planes(n_planes: int = EMBED_LSH_PLANES, dim: int = EMBED_DIM) -> np.ndarray:
@@ -103,20 +120,40 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return sh.select("doc_id", "shingles", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Verified near-duplicate pairs (doc_id_a < doc_id_b, jaccard).
+def _cap_band_buckets(bands: DataFrame, key: str, id_: str, cap: int | None) -> DataFrame:
+    """Drop rows of band buckets larger than ``cap`` (skew guard).
 
-    LSH generates candidates (same signature slice in any band); the exact
-    word-shingle Jaccard then verifies against ``threshold`` — so LSH
-    affects only recall-vs-cost, never emits a false positive.
+    A window count reuses the band-key hash partitioning the subsequent
+    self-join needs, so the cap costs no extra shuffle.  Dropping (not
+    sampling) keeps the operator deterministic and oracle-mirrorable; the
+    dropped keys are observable via :func:`band_bucket_overflow`.
     """
-    signed = minhash_signatures(df, text_col, id_col)
-    bands = signed.select(
+    if cap is None:
+        return bands
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key)
+    return (
+        bands.withColumn("_bc", F.count(id_).over(w))
+        .where(F.col("_bc") <= cap)
+        .drop("_bc")
+    )
+
+
+def band_bucket_overflow(bands: DataFrame, key: str, cap: int) -> DataFrame:
+    """(band_key, n_members) of buckets the cap would drop — the
+    observability hook ("no silent caps"): pipelines log/inspect this
+    frame to see what candidate mass was discarded."""
+    return (
+        bands.groupBy(key)
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > cap)
+    )
+
+
+def _bands_of(signed: DataFrame) -> DataFrame:
+    """(doc_id, band_key) rows — one row per doc per LSH band."""
+    return signed.select(
         "doc_id",
         F.explode(
             F.array(
@@ -134,15 +171,53 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_band_bucket: int | None = DEFAULT_MINHASH_BUCKET_CAP,
+    signed: DataFrame | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs from the capped band self-join."""
+    if signed is None:
+        signed = minhash_signatures(df, text_col, id_col)
+    bands = _cap_band_buckets(
+        _bands_of(signed), "band_key", "doc_id", max_band_bucket
+    )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(b, on="band_key")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
         )
         .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_band_bucket: int | None = DEFAULT_MINHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Verified near-duplicate pairs (doc_id_a < doc_id_b, jaccard).
+
+    LSH generates candidates (same signature slice in any band, bucket
+    size capped at ``max_band_bucket``); the exact word-shingle Jaccard
+    then verifies against ``threshold`` — so LSH affects only
+    recall-vs-cost, never emits a false positive.  The cap bounds the
+    self-join at cap^2/2 pairs per bucket no matter how degenerate the
+    corpus (templated/boilerplate text); route identical docs through
+    exact dedup first.
+    """
+    signed = minhash_signatures(df, text_col, id_col)
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, max_band_bucket, signed=signed
     )
     sh = signed.select("doc_id", "shingles")
     verified = (
@@ -268,45 +343,113 @@ def embedding_bucket(vec_col, planes: np.ndarray):
     return out
 
 
+def embedding_band_keys(vec_col, planes: np.ndarray, n_bands: int, n_rows: int):
+    """Array of per-band LSH keys: ``"<band>_<row-sign-bitmap>"``.
+
+    OR-of-ANDs banding (same shape as the MinHash path): a pair is a
+    candidate when ALL ``n_rows`` sign bits of ANY band agree.  More
+    bands -> recall; more rows -> selectivity.
+    """
+    keys = []
+    for band in range(n_bands):
+        code = F.lit(0).cast("long")
+        for r in range(n_rows):
+            plane = planes[band * n_rows + r]
+            code = code + F.when(_dot(vec_col, plane) > 0, F.lit(1 << r)).otherwise(
+                F.lit(0)
+            )
+        keys.append(F.concat_ws("_", F.lit(band), code.cast("string")))
+    return F.array(*keys)
+
+
+def embedding_near_dup_candidates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = EMBED_LSH_BANDS,
+    n_rows: int = EMBED_LSH_ROWS,
+    max_band_bucket: int | None = DEFAULT_EMBED_BUCKET_CAP,
+) -> DataFrame:
+    """Distinct (vec_id_a < vec_id_b) candidates from the capped banded
+    self-join — the blocking stage, exposed for skew observability."""
+    planes = lsh_planes(n_bands * n_rows)
+    bands = emb.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.explode(
+            embedding_band_keys(F.col(vec_col), planes, n_bands, n_rows)
+        ).alias("band_key"),
+    )
+    bands = _cap_band_buckets(bands, "band_key", "vid", max_band_bucket)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on="band_key")
+        .where(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("vid_a"), F.col("b.vid").alias("vid_b"))
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = EMBED_LSH_PLANES,
+    n_bands: int = EMBED_LSH_BANDS,
+    n_rows: int = EMBED_LSH_ROWS,
+    max_band_bucket: int | None = DEFAULT_EMBED_BUCKET_CAP,
 ) -> DataFrame:
     """(id_a < id_b, cosine) pairs with cosine ≥ threshold, LSH-blocked.
 
-    Candidates must share the full hyperplane-sign bucket; exact cosine
-    verifies.  At 100 TB the bucket join replaces the quadratic all-pairs
-    scan; recall is governed by the plane count (8 planes ≈ coarse
-    blocking tuned for very-high thresholds).
+    Banded multi-probe blocking (``n_bands`` x ``n_rows`` hyperplanes,
+    OR-of-ANDs) generates candidates; exact cosine verifies — LSH tunes
+    recall-vs-cost, never emits a false positive.  Per-band buckets are
+    capped at ``max_band_bucket`` members so a dense embedding cluster
+    (near-identical boilerplate) cannot go quadratic: the blow-up bound
+    is ``n_bands * cap^2/2`` pairs per bucket, independent of corpus
+    size.  At 10^9 vectors this plan is ~n_bands joins of 2^n_rows-way
+    split buckets instead of the old single 2^8-bucket join (~N^2/256).
     """
-    planes = lsh_planes(n_planes)
+    cand = embedding_near_dup_candidates(
+        emb, id_col, vec_col, n_bands, n_rows, max_band_bucket
+    )
     based = emb.select(
         F.col(id_col).cast("long").alias("vid"),
         F.col(vec_col).alias("v"),
-        embedding_bucket(F.col(vec_col), planes).alias("bucket"),
         F.sqrt(_norm_sq(F.col(vec_col))).alias("nrm"),
     )
-    a = based.alias("a")
-    b = based.alias("b")
+    joined = (
+        cand.join(
+            based.select(
+                F.col("vid").alias("vid_a"),
+                F.col("v").alias("v_a"),
+                F.col("nrm").alias("nrm_a"),
+            ),
+            "vid_a",
+        )
+        .join(
+            based.select(
+                F.col("vid").alias("vid_b"),
+                F.col("v").alias("v_b"),
+                F.col("nrm").alias("nrm_b"),
+            ),
+            "vid_b",
+        )
+    )
     dot_ab = F.aggregate(
         F.zip_with(
-            F.col("a.v").cast("array<double>"),
-            F.col("b.v").cast("array<double>"),
+            F.col("v_a").cast("array<double>"),
+            F.col("v_b").cast("array<double>"),
             lambda x, y: x * y,
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
-        .where(F.col("a.vid") < F.col("b.vid"))
-        .select(
-            F.col("a.vid").alias("vec_id_a"),
-            F.col("b.vid").alias("vec_id_b"),
-            F.round(dot_ab / (F.col("a.nrm") * F.col("b.nrm")), 6).alias("cosine"),
+        joined.select(
+            F.col("vid_a").alias("vec_id_a"),
+            F.col("vid_b").alias("vec_id_b"),
+            F.round(dot_ab / (F.col("nrm_a") * F.col("nrm_b")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -52,6 +52,30 @@ def make_blob(key: str, width: int, height: int, channels: int = 3) -> bytes:
     return struct.pack(HEADER_FMT, MAGIC, width, height, channels) + payload
 
 
+def media_dims_for_id(doc_id: str) -> tuple[int, int, int]:
+    """Deterministic (width, height, channels) of the fake asset for one id.
+
+    Single source of truth shared by :func:`attach_fake_media` and the
+    DuckDB-side expected-metadata oracle — dims are a pure function of the
+    doc_id so any runtime can precompute them.
+    """
+    h = int.from_bytes(hashlib.blake2b(doc_id.encode(), digest_size=4).digest(), "little")
+    return 8 + (h % 25), 8 + ((h >> 8) % 25), 3
+
+
+def expected_media_meta(doc_ids) -> list[tuple[str, int, int, int, int]]:
+    """(doc_id, width, height, channels, n_bytes) rows the decode stage
+    must produce — the oracle's ground truth, computed without Spark."""
+    out = []
+    for doc_id in doc_ids:
+        doc_id = str(doc_id)
+        width, height, channels = media_dims_for_id(doc_id)
+        out.append(
+            (doc_id, width, height, channels, HEADER_SIZE + width * height * channels)
+        )
+    return out
+
+
 def attach_fake_media(
     df: DataFrame, id_col: str = "doc_id", kind: str = "image"
 ) -> DataFrame:
@@ -74,11 +98,7 @@ def attach_fake_media(
             ids = pdf[id_col].astype(str)
             blobs = []
             for i in ids:
-                h = int.from_bytes(
-                    hashlib.blake2b(i.encode(), digest_size=4).digest(), "little"
-                )
-                width = 8 + (h % 25)
-                height = 8 + ((h >> 8) % 25)
+                width, height, _ = media_dims_for_id(i)
                 blobs.append(make_blob(i, width, height))
             yield pd.DataFrame(
                 {

@@ -419,8 +419,20 @@ shingled AS (
 )"""
 
 
-def minhash_lsh_pairs_sql(threshold: float = 0.5) -> str:
-    from ..operators.dedup import HASH_MOD, LSH_BANDS, LSH_ROWS, MINHASH_A, MINHASH_B
+def minhash_lsh_pairs_sql(
+    threshold: float = 0.5, max_band_bucket: int | None = None
+) -> str:
+    from ..operators.dedup import (
+        DEFAULT_MINHASH_BUCKET_CAP,
+        HASH_MOD,
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_A,
+        MINHASH_B,
+    )
+
+    if max_band_bucket is None:
+        max_band_bucket = DEFAULT_MINHASH_BUCKET_CAP
 
     sig_cols = ", ".join(
         f"list_min(list_transform(hashes, h -> (h*{a} + {b}) % {HASH_MOD})) AS s{i}"
@@ -441,7 +453,14 @@ hashed AS (
   FROM shingled WHERE len(shingles) > 0
 ),
 sigs AS (SELECT doc_id, shingles, {sig_cols} FROM hashed),
-bands AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs),
+bands_raw AS (SELECT doc_id, unnest([{band_keys}]) AS band_key FROM sigs),
+-- per-band bucket cap: mirrors the engine's skew guard bit-for-bit
+bands AS (
+  SELECT doc_id, band_key FROM (
+    SELECT doc_id, band_key, count(*) OVER (PARTITION BY band_key) AS bc
+    FROM bands_raw
+  ) WHERE bc <= {max_band_bucket}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
   FROM bands a JOIN bands b USING (band_key)
@@ -529,22 +548,72 @@ def _self_dot_sql(vec_expr: str, dim: int) -> str:
     )
 
 
-def embedding_near_dup_sql(threshold: float = 0.9, dim: int = 64, n_planes: int | None = None) -> str:
+def _band_key_sql(vec_expr: str, planes, n_bands: int, n_rows: int) -> str:
+    """Comma-joined per-band key expressions mirroring
+    ``dedup.embedding_band_keys`` ("<band>_<row-sign-bitmap>")."""
+    keys = []
+    for band in range(n_bands):
+        code = " + ".join(
+            f"CASE WHEN {_plane_dot_sql(vec_expr, planes[band * n_rows + r])} > 0 "
+            f"THEN {1 << r} ELSE 0 END"
+            for r in range(n_rows)
+        )
+        keys.append(f"'{band}_' || CAST(({code}) AS VARCHAR)")
+    return ", ".join(keys)
+
+
+def embedding_near_dup_sql(
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_bands: int | None = None,
+    n_rows: int | None = None,
+    max_band_bucket: int | None = None,
+) -> str:
+    from ..operators.dedup import (
+        DEFAULT_EMBED_BUCKET_CAP,
+        EMBED_LSH_BANDS,
+        EMBED_LSH_ROWS,
+        lsh_planes,
+    )
+
+    if n_bands is None:
+        n_bands = EMBED_LSH_BANDS
+    if n_rows is None:
+        n_rows = EMBED_LSH_ROWS
+    if max_band_bucket is None:
+        max_band_bucket = DEFAULT_EMBED_BUCKET_CAP
+    planes = lsh_planes(n_bands * n_rows)
     pair_dot = (
         f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
-        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x, y) -> x + y)"
+        "i -> CAST(na.embedding[i] AS DOUBLE) * CAST(nb.embedding[i] AS DOUBLE))), (x, y) -> x + y)"
     )
     return f"""
 WITH based AS (
   SELECT CAST(vec_id AS BIGINT) AS vid, embedding,
-         {_bucket_sql('embedding', n_planes)} AS bucket,
          sqrt({_self_dot_sql('embedding', dim)}) AS nrm
   FROM embeddings
+),
+bands_raw AS (
+  SELECT vid, unnest([{_band_key_sql('embedding', planes, n_bands, n_rows)}]) AS band_key
+  FROM based
+),
+bands AS (
+  SELECT vid, band_key FROM (
+    SELECT vid, band_key, count(*) OVER (PARTITION BY band_key) AS bc
+    FROM bands_raw
+  ) WHERE bc <= {max_band_bucket}
+),
+cand AS (
+  SELECT DISTINCT a.vid AS vid_a, b.vid AS vid_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.vid < b.vid
 )
-SELECT a.vid AS vec_id_a, b.vid AS vec_id_b,
-       round({pair_dot} / (a.nrm * b.nrm), 6) AS cosine
-FROM based a JOIN based b ON a.bucket = b.bucket AND a.vid < b.vid
-WHERE round({pair_dot} / (a.nrm * b.nrm), 6) >= {threshold}
+SELECT c.vid_a AS vec_id_a, c.vid_b AS vec_id_b,
+       round({pair_dot} / (na.nrm * nb.nrm), 6) AS cosine
+FROM cand c
+JOIN based na ON na.vid = c.vid_a
+JOIN based nb ON nb.vid = c.vid_b
+WHERE round({pair_dot} / (na.nrm * nb.nrm), 6) >= {threshold}
 """
 
 

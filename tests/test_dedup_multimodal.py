@@ -76,13 +76,65 @@ def test_embedding_near_dup_and_lsh_topk(spark):
         (i, [float(v) for v in rng.standard_normal(64)]) for i in range(2, 40)
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.9, n_planes=4).collect()
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.9).collect()
     assert any(r["vec_id_a"] == 0 and r["vec_id_b"] == 1 for r in pairs)
     topk = dedup.cosine_topk_lsh(
         emb, [float(v) for v in base], k=5, n_planes=4
     ).collect()
     assert topk[0]["vec_id"] == 0 and topk[0]["cosine"] == 1.0
     assert topk[1]["vec_id"] == 1 and topk[1]["cosine"] > 0.9
+
+
+def test_minhash_bucket_cap_bounds_skew(spark):
+    """10k identical docs (degenerate boilerplate) must not go quadratic:
+    with a band-bucket cap the candidate stage emits ZERO pairs instead
+    of ~50M (identical content is exact-dedup's job, not LSH's)."""
+    n = 10_000
+    boiler = spark.range(n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("the exact same templated tool output every single time").alias("text"),
+    )
+    cand = dedup.minhash_lsh_candidates(boiler, max_band_bucket=100)
+    assert cand.count() == 0
+    # overflow observability: the dropped buckets are reportable
+    signed = dedup.minhash_signatures(boiler)
+    bands = dedup._bands_of(signed)
+    overflow = dedup.band_bucket_overflow(bands, "band_key", 100).collect()
+    assert overflow and all(r["n_members"] == n for r in overflow)
+    # a mixed corpus still finds the legit near-dup pair under the cap
+    legit = spark.createDataFrame(
+        [
+            ("x1", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("x2", "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        "doc_id string, text string",
+    )
+    mixed = boiler.unionByName(legit)
+    pairs = dedup.minhash_lsh_pairs(mixed, threshold=0.5, max_band_bucket=100).collect()
+    assert [(r["doc_id_a"], r["doc_id_b"]) for r in pairs] == [("x1", "x2")]
+
+
+def test_embedding_bucket_cap_bounds_skew(spark):
+    """A dense embedding cluster is capped out of the banded self-join."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    hot = rng.standard_normal(64)
+    rows = [(i, [float(v) for v in hot]) for i in range(2_000)]
+    base = rng.standard_normal(64)
+    near = base + 0.01 * rng.standard_normal(64)
+    rows += [(9_001, [float(v) for v in base]), (9_002, [float(v) for v in near])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cand = dedup.embedding_near_dup_candidates(emb, max_band_bucket=50)
+    n_cand = cand.count()
+    # the 2000-member hot cluster (≈2M pairs) is dropped; only the pair
+    # plus chance collisions among <=50-member buckets survive
+    assert n_cand < 5_000
+    pairs = dedup.embedding_near_dup_pairs(
+        emb, threshold=0.95, max_band_bucket=50
+    ).collect()
+    assert any(r["vec_id_a"] == 9_001 and r["vec_id_b"] == 9_002 for r in pairs)
+    assert not any(r["vec_id_a"] < 2_000 and r["vec_id_b"] < 2_000 for r in pairs)
 
 
 def test_multimodal_roundtrip(spark, corpus):
