@@ -193,9 +193,15 @@ class LexicalIndex:
         offset: int = 0,
         exact_count: bool = False,
         prune: bool = False,
+        hydrate_fields: Optional[Sequence[str]] = None,
     ) -> SearchResult:
         return self.engine.search(
-            query, limit=limit, offset=offset, exact_count=exact_count, prune=prune
+            query,
+            limit=limit,
+            offset=offset,
+            exact_count=exact_count,
+            prune=prune,
+            hydrate_fields=hydrate_fields,
         )
 
     def search_with_snippets(

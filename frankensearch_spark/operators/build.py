@@ -371,12 +371,11 @@ def _write_docs(
     # analyzed partitions ARE disjoint docid ranges (one per segment), so an
     # in-partition sort yields a globally range-partitioned docs table;
     # segment_id directory partitioning gives segment-granular GC + pruning.
-    (
-        analyzed.select(*dict.fromkeys(cols))
-        .sortWithinPartitions("docid")
-        .write.mode(mode)
-        .partitionBy("segment_id")
-        .parquet(storage.path("docs"))
+    storage.write_table(
+        analyzed.select(*dict.fromkeys(cols)).sortWithinPartitions("docid"),
+        "docs",
+        mode,
+        partition_by=("segment_id",),
     )
 
 
@@ -387,12 +386,11 @@ def _write_doclens(
     for f in meta.text_fields:
         cols.append(F.col(f"len_{f}"))
         cols.append(F.col(f"fnid_{f}"))
-    (
-        analyzed.select(*cols)
-        .sortWithinPartitions("docid")
-        .write.mode(mode)
-        .partitionBy("segment_id")
-        .parquet(storage.path("doclens"))
+    storage.write_table(
+        analyzed.select(*cols).sortWithinPartitions("docid"),
+        "doclens",
+        mode,
+        partition_by=("segment_id",),
     )
 
 
@@ -498,11 +496,7 @@ def _write_postings_and_terms(
         else F.col("packed").alias("entries"),
         *([F.expr("transform(packed, e -> e.positions)").alias("positions")] if meta.positions else []),
     )
-    (
-        postings.write.mode(mode)
-        .partitionBy("segment_id", "bucket")
-        .parquet(storage.path("postings"))
-    )
+    storage.write_table(postings, "postings", mode, partition_by=("segment_id", "bucket"))
 
     # Per-segment dictionary rows: the snapshot df/cf of a term is the sum
     # over live segments at probe time, so dictionary maintenance is
@@ -523,11 +517,11 @@ def _write_postings_and_terms(
             F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(meta.num_buckets)).cast("int"),
         )
     )
-    (
-        terms.repartition("segment_id", "bucket")
-        .write.mode(mode)
-        .partitionBy("segment_id", "bucket")
-        .parquet(storage.path("terms"))
+    storage.write_table(
+        terms.repartition("segment_id", "bucket"),
+        "terms",
+        mode,
+        partition_by=("segment_id", "bucket"),
     )
 
 
@@ -557,7 +551,7 @@ def _write_stats(
     stats = rows[0]
     for r in rows[1:]:
         stats = stats.unionByName(r)
-    stats.coalesce(1).write.mode(mode).parquet(storage.path("field_stats"))
+    storage.write_table(stats, "field_stats", mode, coalesce=1)
     return seg
 
 
@@ -573,4 +567,4 @@ def _write_manifest(
         F.lit("sealed").alias("status"),
         F.lit(time.time()).alias("built_at"),
     )
-    manifest.coalesce(1).write.mode(mode).parquet(storage.path("manifest"))
+    storage.write_table(manifest, "manifest", mode, coalesce=1)

@@ -115,9 +115,7 @@ class IndexMaintenance:
         try:
             n = docs.count()  # stays distributed — no driver materialization
             if n:
-                docs.coalesce(1).write.mode("append").parquet(
-                    self.storage.path("tombstones")
-                )
+                self.storage.write_table(docs, "tombstones", "append", coalesce=1)
             return int(n)
         finally:
             docs.unpersist()
@@ -324,9 +322,7 @@ class IndexMaintenance:
                 .where(F.col("segment_id").isin(segment_ids))
                 .withColumn("segment_id", F.lit(out_seg))
             )
-            df.write.mode("overwrite").partitionBy("segment_id").parquet(
-                self.storage.path(table)
-            )
+            self.storage.write_table(df, table, "overwrite", partition_by=("segment_id",))
         terms = (
             self.storage.read("terms")
             .where(F.col("segment_id").isin(segment_ids))
@@ -334,8 +330,8 @@ class IndexMaintenance:
             .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
             .withColumn("segment_id", F.lit(out_seg))
         )
-        terms.write.mode("overwrite").partitionBy("segment_id", "bucket").parquet(
-            self.storage.path("terms")
+        self.storage.write_table(
+            terms, "terms", "overwrite", partition_by=("segment_id", "bucket")
         )
         w = Window.partitionBy("field", "term").orderBy("first_doc")
         postings = (
@@ -344,8 +340,8 @@ class IndexMaintenance:
             .withColumn("segment_id", F.lit(out_seg))
             .withColumn("block_id", (F.row_number().over(w) - F.lit(1)).cast("int"))
         )
-        postings.write.mode("overwrite").partitionBy("segment_id", "bucket").parquet(
-            self.storage.path("postings")
+        self.storage.write_table(
+            postings, "postings", "overwrite", partition_by=("segment_id", "bucket")
         )
         stats = (
             self.storage.read("field_stats")
@@ -363,7 +359,7 @@ class IndexMaintenance:
                 "segment_id", "field", "doc_count", "total_tokens", "docid_lo", "docid_hi"
             )
         )
-        stats.coalesce(1).write.mode("append").parquet(self.storage.path("field_stats"))
+        self.storage.write_table(stats, "field_stats", "append", coalesce=1)
         self._publish_supersede(mapping, fold_tombstones=False, remap_tombstones=True)
         return out_seg
 
@@ -407,9 +403,7 @@ class IndexMaintenance:
             )
             # dynamic partition overwrite: crash-replay idempotence (the
             # retry re-mints the same output ids and replaces, not appends)
-            df.write.mode("overwrite").partitionBy("segment_id").parquet(
-                self.storage.path(table)
-            )
+            self.storage.write_table(df, table, "overwrite", partition_by=("segment_id",))
         # postings: explode entries, drop dead docids, re-pack 128-blocks
         postings = self.storage.read("postings").where(F.col("segment_id").isin(srcs))
         has_positions = "positions" in postings.columns
@@ -486,8 +480,8 @@ class IndexMaintenance:
                 else []
             ),
         )
-        new_postings.write.mode("overwrite").partitionBy("segment_id", "bucket").parquet(
-            self.storage.path("postings")
+        self.storage.write_table(
+            new_postings, "postings", "overwrite", partition_by=("segment_id", "bucket")
         )
         # fresh dictionary + stats for the output segments
         out_segs = sorted(mapping.values())
@@ -500,8 +494,8 @@ class IndexMaintenance:
                 F.sum(F.expr("aggregate(entries.freq, 0L, (a, x) -> a + x)")).alias("cf"),
             )
         )
-        terms.write.mode("overwrite").partitionBy("segment_id", "bucket").parquet(
-            self.storage.path("terms")
+        self.storage.write_table(
+            terms, "terms", "overwrite", partition_by=("segment_id", "bucket")
         )
         doclens = self.storage.read("doclens").where(F.col("segment_id").isin(out_segs))
         stat_rows = []
@@ -524,7 +518,7 @@ class IndexMaintenance:
         stats = stat_rows[0]
         for s in stat_rows[1:]:
             stats = stats.unionByName(s)
-        stats.coalesce(1).write.mode("append").parquet(self.storage.path("field_stats"))
+        self.storage.write_table(stats, "field_stats", "append", coalesce=1)
 
     def _publish_supersede(
         self,

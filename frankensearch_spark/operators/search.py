@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections import OrderedDict
 from dataclasses import dataclass
-from typing import Iterator, Optional
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -125,16 +125,26 @@ class SearchEngine:
         offset: int = 0,
         exact_count: bool = False,
         prune: bool = False,
+        hydrate_fields: Optional[Sequence[str]] = None,
     ) -> SearchResult:
+        """Ranked top-k search.
+
+        ``hydrate_fields`` optionally joins stored columns onto the k
+        winners, pinned to the scoring snapshot (reference
+        ``traits.rs:965-1016`` stored-field hydration) — only the winners
+        are materialized, so hydration cost is O(k) regardless of corpus
+        size.
+        """
+        hydrate = tuple(hydrate_fields or ())
         # prune is part of the key so the pruned-vs-exhaustive differential
         # suite really exercises both plans (their results are identical by
         # the rank-exact contract, but the cache must not mask a regression)
-        cache_key = (repr(query), limit, offset, exact_count, prune)
+        cache_key = (repr(query), limit, offset, exact_count, prune, hydrate)
         cached = self._query_cache.get(cache_key)
         if cached is not None:
             self._query_cache.move_to_end(cache_key)
             return SearchResult(hits=cached.hits.copy(), total_count=cached.total_count)
-        result = self._search_uncached(query, limit, offset, exact_count, prune)
+        result = self._search_uncached(query, limit, offset, exact_count, prune, hydrate)
         self._query_cache[cache_key] = SearchResult(
             hits=result.hits.copy(), total_count=result.total_count
         )
@@ -149,6 +159,7 @@ class SearchEngine:
         offset: int,
         exact_count: bool,
         prune: bool,
+        hydrate: tuple = (),
     ) -> SearchResult:
         tree = self._parse(query)
         plan = compile_query(q.canonicalize_query(tree))
@@ -176,7 +187,7 @@ class SearchEngine:
         if exact_count:
             scored.unpersist()
         winners = winners.iloc[offset:].reset_index(drop=True)
-        hits = self._materialize(winners)
+        hits = self._materialize(winners, hydrate)
         return SearchResult(hits=hits, total_count=total)
 
     def search_with_snippets(
@@ -321,6 +332,20 @@ class SearchEngine:
     def _combine(self, plan: EvalPlan, cand: DataFrame) -> DataFrame:
         """Pivot (docid, leaf_id, score) rows and run the shared f32 eval tree."""
         cand = self._filter_tombstones(cand)
+        # Single-leaf fast path (the hottest query class: one term over one
+        # text field): every leaf frame already emits at most one row per
+        # docid, and the eval tree for {"t":"leaf"} is the identity — so
+        # the pivot shuffle and the Python eval stage are pure overhead.
+        # The plan becomes scan -> broadcast join -> score, zero exchanges.
+        if (
+            plan.spec is not None
+            and plan.spec.get("t") == "leaf"
+            and len(plan.leaves) == 1
+        ):
+            return cand.select(
+                F.col("docid").cast("long").alias("docid"),
+                F.col("score").cast("float").alias("score"),
+            )
         leaf_ids = [l.leaf_id for l in plan.leaves]
         pivoted = cand.groupBy("docid").pivot("leaf_id", leaf_ids).agg(F.first("score"))
         spec = plan.spec
@@ -738,20 +763,38 @@ class SearchEngine:
             F.lit(1.0).cast("float").alias("score"),
         )
 
-    def _materialize(self, winners: pd.DataFrame) -> pd.DataFrame:
-        """Join the k winners back to docs for doc_id hydration."""
+    def _materialize(self, winners: pd.DataFrame, hydrate: tuple = ()) -> pd.DataFrame:
+        """Join the k winners back to docs (two-phase materialization).
+
+        ``hydrate`` names extra stored columns to return alongside
+        (docid, doc_id, score, rank) — snapshot-pinned (the docs read is
+        restricted to the engine's live segments), and the ``isin`` on the
+        range-partitioned docid column prunes the scan to the winners'
+        row groups.
+        """
         if winners.empty:
-            return _empty_hits()
+            hits = _empty_hits()
+            for name in hydrate:
+                hits[name] = pd.Series(dtype=object)
+            return hits
         docids = [int(d) for d in winners["docid"]]
-        docs = (
-            self._read_live("docs")
-            .where(F.col("docid").isin(docids))
-            .select("docid", "doc_id")
+        docs = self._read_live("docs")
+        if hydrate:
+            missing = [c for c in hydrate if c not in docs.columns]
+            if missing:
+                raise ValueError(
+                    f"hydrate_fields not stored in this index: {missing}; "
+                    f"available: {sorted(set(docs.columns) - {'docid', 'segment_id'})}"
+                )
+        cols = ["docid", "doc_id", *[c for c in hydrate if c != "doc_id"]]
+        stored = (
+            docs.where(F.col("docid").isin(docids))
+            .select(*cols)
             .toPandas()
         )
-        merged = winners.merge(docs, on="docid", how="left")
+        merged = winners.merge(stored, on="docid", how="left")
         merged["rank"] = range(1, len(merged) + 1)
-        return merged[["docid", "doc_id", "score", "rank"]]
+        return merged[["docid", "doc_id", "score", "rank", *[c for c in hydrate if c != "doc_id"]]]
 
 
 def _slop_starts(sets: list[set], slop: int) -> set:

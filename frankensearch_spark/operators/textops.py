@@ -28,7 +28,18 @@ EN_STOPWORDS = (
 
 
 def ascii_tokens(col):
-    """JVM-side tokens for ASCII lowercase corpora (split on non-alnum)."""
+    """JVM-side tokens: lowercase, split on non-[a-z0-9] runs.
+
+    SCOPE: ASCII-only by design — non-ASCII letters act as separators.
+    This is the training-data-pipeline tokenizer (dedup, quality signals,
+    token counts, fingerprints — this module and ``operators/dedup.py``),
+    chosen so the DuckDB oracles can mirror it with one regex and so the
+    whole pipeline stays inside whole-stage codegen.  It is deliberately
+    NOT the search analyzer: the index build uses the Unicode-correct
+    ``functions/analyze.py`` tokenizer, whose semantics are pinned by the
+    reference conformance fixtures.  For multilingual pipeline corpora,
+    swap in a Unicode-class regex here and mirror it in the oracle.
+    """
     return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
 
 

@@ -86,15 +86,55 @@ class IndexStorage:
         "tombstones",
     )
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str, format: str | None = None):
         self.spark = spark
         self.index_dir = index_dir
+        #: Physical table format seam (SURVEY §7.1): "parquet" (default)
+        #: writes path-based partitioned Parquet with the manifest table
+        #: supplying snapshot semantics; "iceberg" (requires the Iceberg
+        #: runtime jars + a catalog on the cluster) maps the same logical
+        #: tables onto catalog tables, letting Iceberg snapshots complement
+        #: the manifest's per-segment lineage.  Every read/write below goes
+        #: through this flag — no caller names a format.
+        self.format = format or os.environ.get(
+            "FRANKENSEARCH_STORAGE_FORMAT", "parquet"
+        )
+        if self.format not in ("parquet", "iceberg"):
+            raise ValueError(f"unsupported storage format {self.format!r}")
+        if self.format == "iceberg":
+            raise NotImplementedError(
+                "iceberg format requires the Iceberg runtime jars and a "
+                "configured catalog; this sandbox ships the parquet path "
+                "(the logical layout and manifest protocol are identical)"
+            )
 
     def path(self, table: str) -> str:
         return os.path.join(self.index_dir, table)
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+        return self.spark.read.format(self.format).load(self.path(table))
+
+    def write_table(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str,
+        partition_by: tuple = (),
+        coalesce: int | None = None,
+    ) -> None:
+        """The single write seam all index writers go through.
+
+        ``mode="overwrite"`` on a partitioned table relies on dynamic
+        partition overwrite (session default) => only the partitions
+        present in ``df`` are replaced — the crash-idempotent rewrite
+        primitive (Iceberg's overwritePartitions is the 1:1 analogue).
+        """
+        if coalesce is not None:
+            df = df.coalesce(coalesce)
+        writer = df.write.format(self.format).mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(self.path(table))
 
     def table_exists(self, table: str) -> bool:
         return os.path.exists(self.path(table))

@@ -141,3 +141,21 @@ def test_known_miss_control(built):
     index, oracle = built
     res = index.search("zzzznonexistenttermzzzz", limit=10)
     assert res.hits.empty
+
+
+def test_hydrate_stored_fields(built, corpus_fixture):
+    """hydrate_fields joins stored columns onto the k winners, snapshot-
+    pinned (reference traits.rs:965-1016 stored-field hydration)."""
+    index, _ = built
+    docs = corpus_fixture["documents"] if isinstance(corpus_fixture, dict) else corpus_fixture
+    by_id = {d["doc_id"]: d for d in docs}
+    hits = index.search(
+        "rust ownership", limit=5, hydrate_fields=["title", "content"]
+    ).hits
+    assert list(hits.columns) == ["docid", "doc_id", "score", "rank", "title", "content"]
+    assert len(hits) == 5
+    for _, row in hits.iterrows():
+        assert row["title"] == by_id[row["doc_id"]]["title"]
+        assert row["content"] == by_id[row["doc_id"]]["content"]
+    with pytest.raises(ValueError, match="not stored"):
+        index.search("rust", limit=2, hydrate_fields=["no_such_column"])
