@@ -199,7 +199,14 @@ def append_segment_batch(
     try:
         analyzed.count()  # materialize once; later stages reuse the cache
         ranged.unpersist()
-        write_segment_tables(analyzed, storage, meta, mode=mode, pre_publish=pre_publish)
+        write_segment_tables(
+            analyzed,
+            storage,
+            meta,
+            mode=mode,
+            pre_publish=pre_publish,
+            new_segments=list(range(segment_base, segment_base + num_segments)),
+        )
     finally:
         analyzed.unpersist()
         spark.conf.set(coalesce_key, prev_coalesce)
@@ -212,6 +219,7 @@ def write_segment_tables(
     meta: IndexMeta,
     mode: str,
     pre_publish=None,
+    new_segments: Optional[list[int]] = None,
 ) -> None:
     """Write docs/doclens/postings/terms/field_stats/manifest for the
     analyzed frame (docid+segment assigned, token arrays per text field).
@@ -231,7 +239,7 @@ def write_segment_tables(
     """
     _write_docs(analyzed, storage, meta, "overwrite")
     _write_doclens(analyzed, storage, meta, "overwrite")
-    _write_postings_and_terms(analyzed, storage, meta, "overwrite")
+    _write_postings_and_terms(analyzed, storage, meta, "overwrite", new_segments=new_segments)
     sm_mode = "overwrite" if mode == "overwrite" else "append"
     seg = _write_stats(analyzed, storage, meta, sm_mode)
     if pre_publish is not None:
@@ -437,7 +445,11 @@ def _token_frame(analyzed: DataFrame, meta: IndexMeta) -> DataFrame:
 
 
 def _write_postings_and_terms(
-    analyzed: DataFrame, storage: IndexStorage, meta: IndexMeta, mode: str
+    analyzed: DataFrame,
+    storage: IndexStorage,
+    meta: IndexMeta,
+    mode: str,
+    new_segments: Optional[list[int]] = None,
 ) -> None:
     # ONE token-scale shuffle: hash-partition on (segment, bucket) up
     # front.  bucket = pmod(crc32(term), B) is a pure function of the term,
@@ -489,6 +501,9 @@ def _write_postings_and_terms(
         F.size("packed").cast("int").alias("count"),
         F.least(F.expr("array_max(packed.freq)"), F.lit(255)).cast("int").alias("max_freq_code"),
         F.expr("array_min(packed.fnid)").cast("int").alias("min_fnid"),
+        # block_cf: per-block collection frequency, aggregated at build so
+        # the dictionary pass never has to decode the entries arrays
+        F.expr("aggregate(packed.freq, 0L, (a, x) -> a + x)").alias("block_cf"),
         F.expr(
             "transform(packed, e -> struct(e.docid as docid, e.freq as freq, e.fnid as fnid))"
         ).alias("entries")
@@ -500,17 +515,21 @@ def _write_postings_and_terms(
 
     # Per-segment dictionary rows: the snapshot df/cf of a term is the sum
     # over live segments at probe time, so dictionary maintenance is
-    # append-only too (no global rewrite per commit — SURVEY §2.7).
-    new_segments = [
-        r["segment_id"] for r in analyzed.select("segment_id").distinct().collect()
-    ]
+    # append-only too (no global rewrite per commit — SURVEY §2.7).  The
+    # read-back touches ONLY the small scalar columns (count, block_cf) —
+    # column pruning skips the posting payloads entirely, so this pass
+    # costs one metadata-width scan + one tiny shuffle of dictionary rows.
+    if new_segments is None:
+        new_segments = [
+            r["segment_id"] for r in analyzed.select("segment_id").distinct().collect()
+        ]
     terms = (
         storage.read("postings")
         .where(F.col("segment_id").isin(new_segments))
         .groupBy("segment_id", "field", "term")
         .agg(
             F.sum("count").cast("long").alias("df"),
-            F.sum(F.expr("aggregate(entries.freq, 0L, (a, x) -> a + x)")).alias("cf"),
+            F.sum("block_cf").cast("long").alias("cf"),
         )
         .withColumn(
             "bucket",

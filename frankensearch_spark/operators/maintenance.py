@@ -469,6 +469,7 @@ class IndexMaintenance:
                 "max_freq_code"
             ),
             F.expr("array_min(packed.fnid)").cast("int").alias("min_fnid"),
+            F.expr("aggregate(packed.freq, 0L, (a, x) -> a + x)").alias("block_cf"),
             F.expr(
                 "transform(packed, e -> struct(e.docid as docid, e.freq as freq, e.fnid as fnid))"
             ).alias("entries")
@@ -491,7 +492,7 @@ class IndexMaintenance:
             .groupBy("segment_id", "field", "term", "bucket")
             .agg(
                 F.sum("count").cast("long").alias("df"),
-                F.sum(F.expr("aggregate(entries.freq, 0L, (a, x) -> a + x)")).alias("cf"),
+                F.sum("block_cf").cast("long").alias("cf"),
             )
         )
         self.storage.write_table(
