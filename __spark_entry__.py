@@ -58,8 +58,10 @@ def _index(spark: SparkSession, sf_dir: str) -> LexicalIndex:
     return idx
 
 
-def _hits_df(spark: SparkSession, sf_dir: str, query: str, k: int = 10) -> DataFrame:
-    hits = _index(spark, sf_dir).search(query, limit=k).hits
+def _hits_df(
+    spark: SparkSession, sf_dir: str, query: str, k: int = 10, offset: int = 0
+) -> DataFrame:
+    hits = _index(spark, sf_dir).search(query, limit=k, offset=offset).hits
     pdf = hits[["doc_id", "score", "rank"]].copy()
     pdf["rank"] = pdf["rank"].astype("int32")
     return spark.createDataFrame(pdf, schema="doc_id string, score float, rank int")
@@ -96,6 +98,25 @@ def _q_bm25_phrase(spark, sf_dir):
 def _q_bm25_count(spark, sf_dir):
     res = _index(spark, sf_dir).search("spark merge", limit=1, exact_count=True)
     return spark.createDataFrame([(int(res.total_count),)], "n_matches bigint")
+
+
+def _q_bm25_offset(spark, sf_dir):
+    """Pagination: page 2 (offset 10) of the flagship query, page-local rank."""
+    return _hits_df(spark, sf_dir, FLAGSHIP_QUERY, k=10, offset=10)
+
+
+def _q_bm25_hydrated(spark, sf_dir):
+    """Stored-field hydration: winners carry the stored content column."""
+    hits = (
+        _index(spark, sf_dir)
+        .search("spark", limit=10, hydrate_fields=["content"])
+        .hits[["doc_id", "score", "rank", "content"]]
+        .copy()
+    )
+    hits["rank"] = hits["rank"].astype("int32")
+    return spark.createDataFrame(
+        hits, schema="doc_id string, score float, rank int, content string"
+    )
 
 
 def _q_docid_assignment(spark, sf_dir):
@@ -230,6 +251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_boolean_not": _q_bm25_not,
         "bm25_top10_phrase": _q_bm25_phrase,
         "bm25_match_count": _q_bm25_count,
+        "bm25_top10_offset": _q_bm25_offset,
+        "bm25_top10_hydrated": _q_bm25_hydrated,
         "docid_assignment": _q_docid_assignment,
         "doclens_fieldnorms": _q_doclens,
         "term_dictionary": _q_term_dictionary,
@@ -263,6 +286,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_top10_phrase": dsql.bm25_phrase_sql(["value", "table"]),
         "bm25_match_count": dsql.bm25_count_sql(["spark", "merge"]),
+        "bm25_top10_offset": dsql.bm25_topk_sql(
+            should=["spark", "merge", "sort", "window"], k=10, offset=10
+        ),
+        "bm25_top10_hydrated": dsql.bm25_topk_sql(
+            should=["spark"], k=10, hydrate_content=True
+        ),
         "docid_assignment": dsql.docid_assignment_sql(),
         "doclens_fieldnorms": dsql.doclens_fieldnorms_sql(),
         "term_dictionary": dsql.term_dictionary_sql(PROBE_TERMS),

@@ -47,6 +47,10 @@ def main(argv=None) -> int:
     s.add_argument("--count", action="store_true", help="exact match count")
     s.add_argument("--prune", action="store_true", help="block-max pruned plan")
     s.add_argument("--snippets", action="store_true")
+    s.add_argument(
+        "--hydrate", default=None,
+        help="comma-separated stored columns to return with each hit",
+    )
     s.add_argument("--grammar", choices=["default", "cass"], default="default")
 
     for name, _help in (
@@ -60,6 +64,12 @@ def main(argv=None) -> int:
     u = sub.add_parser("upsert", help="upsert a parquet batch of documents")
     u.add_argument("--input", required=True)
     u.add_argument("--index", required=True)
+
+    d = sub.add_parser("delete", help="tombstone docs by id (or a parquet of ids)")
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", default=None, help="comma-separated doc_ids")
+    d.add_argument("--ids-parquet", default=None, help="parquet with a doc_id column")
+    d.add_argument("--all", action="store_true", help="delete every live doc")
 
     args = p.parse_args(argv)
 
@@ -108,6 +118,11 @@ def main(argv=None) -> int:
                     offset=args.offset,
                     exact_count=args.count,
                     prune=args.prune,
+                    hydrate_fields=(
+                        [c for c in args.hydrate.split(",") if c]
+                        if args.hydrate
+                        else None
+                    ),
                 )
             out = {"hits": res.hits.to_dict(orient="records")}
             if res.total_count is not None:
@@ -126,6 +141,17 @@ def main(argv=None) -> int:
         elif args.cmd == "upsert":
             LexicalIndex(spark, args.index).upsert(spark.read.parquet(args.input))
             print(json.dumps({"upserted": args.input}))
+        elif args.cmd == "delete":
+            index = LexicalIndex(spark, args.index)
+            if args.all:
+                n = index.delete_all()
+            elif args.ids_parquet:
+                n = index.delete_frame(spark.read.parquet(args.ids_parquet))
+            elif args.ids:
+                n = index.delete([i for i in args.ids.split(",") if i])
+            else:
+                raise SystemExit("delete: pass --ids, --ids-parquet, or --all")
+            print(json.dumps({"tombstoned": n}))
     finally:
         spark.stop()
     return 0

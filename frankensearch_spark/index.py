@@ -105,12 +105,16 @@ class LexicalIndex:
         index_dir: str,
         num_segments: Optional[int] = None,
         num_buckets: int = 16,
+        store_content: bool = True,
     ) -> "LexicalIndex":
         """Build from the canonical transcript table
         ``(conv_id, turn_idx, role, text, tool, ts)``.
 
         One turn == one document; ``doc_id = conv_id || ':' || turn_idx``;
         global docids follow the stable (conv_id, turn_idx) total order.
+        ``store_content`` keeps the turn text in the docs table (reference
+        default schema stores content), enabling snippets and
+        ``hydrate_fields=["content"]``; pass False for an index-only build.
         """
         df = transcripts.select(
             F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string")).alias(
@@ -129,7 +133,7 @@ class LexicalIndex:
             text_fields=("content",),
             keyword_fields=("conv_id", "role", "tool"),
             i64_fields=("turn_idx",),
-            stored_fields=("ts",),
+            stored_fields=("ts", "content") if store_content else ("ts",),
             sort_cols=("conv_id", "turn_idx"),
             num_segments=num_segments,
             num_buckets=num_buckets,

@@ -109,6 +109,9 @@ class SearchEngine:
         }
         #: (field, term) -> doc_freq resolved this session (dictionary probes)
         self._doc_freq_cache: dict[tuple[str, str], int] = {}
+        #: (field, pattern) -> expanded terms; valid for the engine's
+        #: lifetime because the dictionary is snapshot-pinned
+        self._glob_cache: dict[tuple[str, str], list[str]] = {}
         #: ranked query cache keyed by (query, limit, offset, exact_count);
         #: valid for this engine's lifetime because the engine is pinned to
         #: one snapshot (reference index.rs:7407 keys by snapshot epoch —
@@ -665,6 +668,9 @@ class SearchEngine:
         result is the first :data:`~frankensearch_spark.plans.glob.
         DEFAULT_GLOB_EXPANSION_LIMIT` matches in ascending term order.
         """
+        cached = self._glob_cache.get((field, pattern))
+        if cached is not None:
+            return cached
         kind, core = glob.classify(pattern)
         if kind == glob.EXACT:
             cond = F.col("term") == core
@@ -685,7 +691,9 @@ class SearchEngine:
             .limit(glob.DEFAULT_GLOB_EXPANSION_LIMIT)
             .collect()
         )
-        return [r["term"] for r in rows]
+        terms = [r["term"] for r in rows]
+        self._glob_cache[(field, pattern)] = terms
+        return terms
 
     def _glob_leaf_frame(self, leaf: LeafSpec) -> Optional[DataFrame]:
         """Const-score doc set for one (field, pattern) glob leaf."""

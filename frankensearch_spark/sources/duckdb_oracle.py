@@ -120,12 +120,16 @@ def bm25_topk_sql(
     must: list[str] = (),
     must_not: list[str] = (),
     k: int = 10,
+    offset: int = 0,
+    hydrate_content: bool = False,
 ) -> str:
     """Top-k BM25 over the default lenient semantics.
 
     Matching: all ``must`` terms AND (any ``should`` if no must, else
     should optional) AND no ``must_not``; score = f32 ordered sum of the
-    must scores then the should scores (parse order).
+    must scores then the should scores (parse order).  ``offset`` pages
+    with page-local rank (restarting at 1, the engine's convention);
+    ``hydrate_content`` joins the stored text column onto the winners.
     """
     should, must, must_not = list(should), list(must), list(must_not)
     all_terms = list(dict.fromkeys([*must, *should, *must_not]))
@@ -151,14 +155,21 @@ def bm25_topk_sql(
     for t in must_not:
         conds.append(f"{alias_of[t]}.score IS NULL")
     where = " AND ".join(conds) if conds else "TRUE"
-    return f"""{_base_ctes(_term_filter(all_terms))}
+    base = f"""{_base_ctes(_term_filter(all_terms))}
 SELECT d.doc_id, {_f32_sum(score_cols)} AS score,
-       CAST(row_number() OVER (ORDER BY {_f32_sum(score_cols)} DESC, d.doc_id ASC) AS INT) AS rank
+       CAST(row_number() OVER (ORDER BY {_f32_sum(score_cols)} DESC, d.doc_id ASC) AS INT) - {offset} AS rank
 FROM (SELECT doc_id FROM docs) d
 {chr(10).join(joins)}
 WHERE {where}
 ORDER BY score DESC, d.doc_id ASC
-LIMIT {k}
+LIMIT {k} OFFSET {offset}
+"""
+    if not hydrate_content:
+        return base
+    return f"""
+SELECT b.doc_id, b.score, CAST(b.rank AS INT) AS rank, dd.text AS content
+FROM ({base.rstrip()}) b
+JOIN documents dd ON CAST(dd.doc_id AS VARCHAR) = b.doc_id
 """
 
 
