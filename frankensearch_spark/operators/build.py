@@ -10,14 +10,18 @@ accumulate, radix flush; ``index.rs:4882`` index_documents):
    discipline, ``scribe.rs:82``).  The docid of a row is its rank in the
    total order, so results are invariant to the partition count
    (merge=concat law, reference plan Q1-OB3).
-2. **Tokenize** — one Arrow-batched ``mapInPandas`` pass assigns docids and
-   produces per-field token arrays (array index == analyzer position).
-3. **Radix flush** — ``posexplode`` to the long token frame, then ONE
-   shuffle on ``(segment_id, field, term)`` builds docid-sorted posting
-   blocks of 128 with BLOCKMAX metadata (``max_freq_code``, ``min_fnid``,
-   ``first_doc`` — reference ``quiver.rs:1719``) entirely JVM-side (the
-   window and the block aggregation share the same hash partitioning, so
-   Catalyst plans a single exchange).
+2. **Tokenize + map-side combine** — one Arrow-batched ``mapInPandas``
+   pass assigns docids and emits per-field, per-doc posting structs
+   (term, sorted positions): the per-(doc, term) aggregation happens
+   inside the tokenize stage, BEFORE any shuffle (the partial-agg Catalyst
+   can't plan across an explicit repartition).
+3. **Radix flush** — explode to the long posting frame (one row per
+   (doc, term), positions packed), then ONE shuffle on
+   ``(segment_id, bucket)`` builds docid-sorted posting blocks of 128 with
+   BLOCKMAX metadata (``max_freq_code``, ``min_fnid``, ``first_doc`` —
+   reference ``quiver.rs:1719``) entirely JVM-side (the window and the
+   block aggregation share the same hash partitioning, so Catalyst plans
+   a single exchange).
 4. **Denormalized fieldnorms** — each posting block carries the per-doc
    fieldnorm ids inline, so query-time scoring needs NO doclen join.
 5. **Commit** — per-segment manifest rows are written last; a re-run
@@ -37,6 +41,7 @@ from __future__ import annotations
 import time
 from typing import Iterator, Optional, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark import TaskContext
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -298,63 +303,201 @@ def _assign_docids_and_tokenize(
     ]
     for name in passthrough:
         out_fields.append(df.schema[name])
-    pair_type = ArrayType(
+    # Per-doc postings, combined MAP-SIDE inside this stage: one struct per
+    # distinct term of the doc, positions already collected and sorted.
+    # This is the partial aggregation Catalyst cannot plan itself (an
+    # explicit repartition before groupBy suppresses map-side combine), so
+    # the posting shuffle moves one row per (doc, term) with a packed
+    # positions array instead of one row per token occurrence — and the
+    # per-(doc, term) collect_list aggregation disappears downstream.
+    post_type = ArrayType(
         StructType(
             [
-                StructField("pos", IntegerType(), False),
                 StructField("term", StringType(), False),
+                StructField("positions", ArrayType(IntegerType(), False), False),
             ]
         )
     )
     for f in meta.text_fields:
-        if meta.analyzer_of(f) == "default":
-            out_fields.append(StructField(f"tokens_{f}", ArrayType(StringType()), True))
-        else:
-            out_fields.append(StructField(f"tokpairs_{f}", pair_type, True))
+        out_fields.append(StructField(f"post_{f}", post_type, True))
         out_fields.append(StructField(f"len_{f}", IntegerType(), False))
         out_fields.append(StructField(f"fnid_{f}", IntegerType(), False))
     out_schema = StructType(out_fields)
     analyzers = {f: meta.analyzer_of(f) for f in meta.text_fields}
     derived = dict(meta.derived_prefix_fields)
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def assign(batches):
+        """Arrow-native assign stage: passthrough columns are forwarded as
+        raw Arrow buffers (no object conversion); tokenization runs the
+        python analyzer per text field; the per-doc posting combine and
+        all output buffers are built vectorized (C kernels)."""
+        import pyarrow as pa
+
         from ..functions.cass_analyze import cass_tokenize_batch
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         offset = bases.get(pid, docid_base)
-        for pdf in batches:
-            n = len(pdf)
-            out = pd.DataFrame()
-            out["docid"] = range(offset, offset + n)
-            out["segment_id"] = segment_base + pid
-            out["doc_id"] = pdf["doc_id"].astype(str).values
-            out["content_hash"] = pdf["content_hash"].values
+        for batch in batches:
+            n = batch.num_rows
+            in_cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+            arrays = [
+                pa.array(np.arange(offset, offset + n, dtype=np.int64)),
+                pa.array(np.full(n, segment_base + pid, dtype=np.int32)),
+                in_cols["doc_id"],
+                in_cols["content_hash"],
+            ]
+            names = ["docid", "segment_id", "doc_id", "content_hash"]
             for name in passthrough:
-                out[name] = pdf[name].values
+                arrays.append(in_cols[name])
+                names.append(name)
+            texts_cache: dict[str, list] = {}
             for f in meta.text_fields:
                 source = derived.get(f, f)
-                if source in pdf.columns:
-                    texts = pdf[source].fillna("").tolist()
+                if source in in_cols:
+                    if source not in texts_cache:
+                        texts_cache[source] = [
+                            t if t is not None else "" for t in in_cols[source].to_pylist()
+                        ]
+                    texts = texts_cache[source]
                 else:
                     texts = [""] * n
                 if analyzers[f] == "default":
                     tokens = tokenize_batch(texts)
-                    lens = [len(t) for t in tokens]
-                    out[f"tokens_{f}"] = tokens
+                    lens = np.fromiter((len(t) for t in tokens), dtype=np.int32, count=n)
+                    post = _post_array_from_docs(tokens)
                 else:
                     pairs, lens = cass_tokenize_batch(
                         texts,
                         hyphen_decompose=(analyzers[f] == "cass_hyphen"),
                         edge_ngrams=(f in derived),
                     )
-                    out[f"tokpairs_{f}"] = pairs
-                out[f"len_{f}"] = pd.Series(lens, dtype="int32").values
-                out[f"fnid_{f}"] = fieldnorm_to_id(pd.Series(lens).values).astype("int32")
+                    lens = np.asarray(lens, dtype=np.int32)
+                    # cass_tokenize_batch emits {"pos", "term"} structs
+                    post = _post_array_from_docs(
+                        [[d["term"] for d in p] for p in pairs],
+                        [[d["pos"] for d in p] for p in pairs],
+                    )
+                arrays.append(post)
+                names.append(f"post_{f}")
+                arrays.append(pa.array(lens))
+                names.append(f"len_{f}")
+                arrays.append(pa.array(fieldnorm_to_id(lens).astype(np.int32)))
+                names.append(f"fnid_{f}")
             offset += n
-            yield out
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return ranged, ranged.mapInPandas(assign, schema=out_schema)
+    return ranged, ranged.mapInArrow(assign, schema=out_schema)
+
+
+def _doc_postings_from_tokens(tokens: list) -> list[tuple[str, list[int]]]:
+    """Default analyzer: positions ARE the array indices (rejected tokens
+    are None placeholders that consume a position but emit no posting).
+
+    Pure-python reference implementation — the build uses the vectorized
+    :func:`_post_array_from_docs`; a unit test pins their equivalence.
+    """
+    posts: dict[str, list[int]] = {}
+    for i, tok in enumerate(tokens):
+        if tok is not None:
+            posts.setdefault(tok, []).append(i)
+    return list(posts.items())
+
+
+def _doc_postings_from_pairs(pairs: list) -> list[tuple[str, list[int]]]:
+    """CASS analyzers emit (pos, term) pairs; same-position alternatives
+    (hyphen parts, edge n-grams) share a position, and duplicate
+    (term, pos) occurrences are preserved — exactly what the old
+    sort_array(collect_list(pos)) per (doc, term) produced.
+
+    Pure-python reference implementation — the build uses the vectorized
+    :func:`_post_array_from_docs`; a unit test pins their equivalence.
+    """
+    posts: dict[str, list[int]] = {}
+    for pos, term in pairs:
+        posts.setdefault(term, []).append(pos)
+    return [(t, sorted(p)) for t, p in posts.items()]
+
+
+def _post_array_from_docs(terms_per_doc: list, pos_per_doc: Optional[list] = None):
+    """Vectorized per-doc posting combine -> one Arrow ``list<struct<term,
+    positions>>`` array for a batch of documents.
+
+    ``terms_per_doc``: per doc, a list of term strings (None = rejected
+    token placeholder).  ``pos_per_doc``: matching per-token positions;
+    None means positions are the list indices (default analyzer).
+
+    Semantics pinned against :func:`_doc_postings_from_tokens` /
+    :func:`_doc_postings_from_pairs`: one struct per distinct term of the
+    doc, positions ascending, duplicate (term, pos) occurrences preserved.
+    The whole batch is combined with C-speed kernels (factorize + lexsort
+    + group-boundary scan) and the Arrow buffers are built directly — no
+    per-object conversion on the hot path.
+    """
+    import pyarrow as pa
+
+    n_docs = len(terms_per_doc)
+    counts = np.fromiter((len(t) for t in terms_per_doc), dtype=np.int64, count=n_docs)
+    total = int(counts.sum())
+    struct_t = pa.struct([("term", pa.string()), ("positions", pa.list_(pa.int32()))])
+    if total == 0:
+        empty = pa.array([], type=struct_t)
+        offsets = pa.array(np.zeros(n_docs + 1, dtype=np.int32))
+        return pa.ListArray.from_arrays(offsets, empty)
+
+    flat = np.empty(total, dtype=object)
+    i = 0
+    for t in terms_per_doc:
+        flat[i : i + len(t)] = t
+        i += len(t)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    if pos_per_doc is None:
+        gpos = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], counts)
+    else:
+        gpos = np.empty(total, dtype=np.int64)
+        i = 0
+        for p in pos_per_doc:
+            gpos[i : i + len(p)] = p
+            i += len(p)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+    # factorize maps None placeholders (rejected tokens) to code -1 — the
+    # admission mask falls out as an int comparison, no object-array scan.
+    codes, uniques = pd.factorize(flat)
+    mask = codes >= 0
+    codes_m, gpos_m, doc_m = codes[mask], gpos[mask], doc_idx[mask]
+    if len(codes_m) == 0:
+        empty = pa.array([], type=struct_t)
+        offsets = pa.array(np.zeros(n_docs + 1, dtype=np.int32))
+        return pa.ListArray.from_arrays(offsets, empty)
+    if pos_per_doc is None:
+        # default analyzer: gpos is ascending within each doc already, so a
+        # STABLE sort on the (doc, code) composite keeps positions sorted —
+        # ~14x cheaper than a 3-key lexsort at 5M tokens.
+        order = np.argsort((doc_m << np.int64(32)) | codes_m.astype(np.int64), kind="stable")
+    else:
+        order = np.lexsort((gpos_m, codes_m, doc_m))
+    d_s, c_s, p_s = doc_m[order], codes_m[order], gpos_m[order]
+
+    new_group = np.empty(len(d_s), dtype=bool)
+    new_group[0] = True
+    np.not_equal(d_s[1:], d_s[:-1], out=new_group[1:])
+    new_group[1:] |= c_s[1:] != c_s[:-1]
+    g_start = np.flatnonzero(new_group)
+
+    pos_child = pa.ListArray.from_arrays(
+        pa.array(np.append(g_start, len(p_s)).astype(np.int32)),
+        pa.array(p_s.astype(np.int32)),
+    )
+    # vocab-sized object conversion once, then a C-speed take per group
+    vocab = pa.array(uniques, type=pa.string())
+    term_child = vocab.take(pa.array(c_s[g_start].astype(np.int32)))
+    posting = pa.StructArray.from_arrays([term_child, pos_child], fields=list(struct_t))
+    per_doc_groups = np.bincount(d_s[g_start], minlength=n_docs)
+    outer = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(per_doc_groups, out=outer[1:])
+    return pa.ListArray.from_arrays(pa.array(outer.astype(np.int32)), posting)
 
 
 def _passthrough_columns(df: DataFrame, meta: IndexMeta) -> list[str]:
@@ -371,7 +514,7 @@ def _write_docs(
     passthrough = [
         c
         for c in analyzed.columns
-        if not c.startswith(("tokens_", "tokpairs_", "len_", "fnid_"))
+        if not c.startswith(("post_", "len_", "fnid_"))
     ]
     # stored text fields ride along for snippet/hydration parity
     stored_text = [f for f in meta.text_fields if f in meta.stored_fields]
@@ -402,42 +545,34 @@ def _write_doclens(
     )
 
 
-def _token_frame(analyzed: DataFrame, meta: IndexMeta) -> DataFrame:
-    """Long-format (segment_id, field, term, docid, pos, fnid) frame.
+def _posting_frame(analyzed: DataFrame, meta: IndexMeta) -> DataFrame:
+    """Long-format (segment_id, field, term, docid, freq, positions, fnid).
 
-    Default fields explode their position-indexed token arrays; CASS
-    fields explode (pos, term) structs (same-position alternatives keep
-    their shared position).
+    The per-(doc, term) aggregation already happened MAP-SIDE inside the
+    tokenize stage (``_doc_postings_from_tokens``), so this explode emits
+    exactly one row per (doc, term) with its packed sorted positions —
+    the posting shuffle moves pre-combined postings, not raw token
+    occurrences, and no per-doc collect_list aggregation runs after it.
     """
     frames = []
     for f in meta.text_fields:
-        if meta.analyzer_of(f) == "default":
-            frames.append(
-                analyzed.select(
-                    "segment_id",
-                    F.lit(f).alias("field"),
-                    "docid",
-                    F.col(f"fnid_{f}").alias("fnid"),
-                    F.posexplode(f"tokens_{f}").alias("pos", "term"),
-                ).where(F.col("term").isNotNull())
+        frames.append(
+            analyzed.select(
+                "segment_id",
+                F.lit(f).alias("field"),
+                "docid",
+                F.col(f"fnid_{f}").alias("fnid"),
+                F.explode(f"post_{f}").alias("e"),
+            ).select(
+                "segment_id",
+                "field",
+                "docid",
+                "fnid",
+                F.col("e.term").alias("term"),
+                F.col("e.positions").alias("positions"),
+                F.size("e.positions").cast("int").alias("freq"),
             )
-        else:
-            frames.append(
-                analyzed.select(
-                    "segment_id",
-                    F.lit(f).alias("field"),
-                    "docid",
-                    F.col(f"fnid_{f}").alias("fnid"),
-                    F.explode(f"tokpairs_{f}").alias("e"),
-                ).select(
-                    "segment_id",
-                    "field",
-                    "docid",
-                    "fnid",
-                    F.col("e.pos").alias("pos"),
-                    F.col("e.term").alias("term"),
-                )
-            )
+        )
     out = frames[0]
     for fr in frames[1:]:
         out = out.unionByName(fr)
@@ -451,26 +586,24 @@ def _write_postings_and_terms(
     mode: str,
     new_segments: Optional[list[int]] = None,
 ) -> None:
-    # ONE token-scale shuffle: hash-partition on (segment, bucket) up
+    # ONE posting-scale shuffle: hash-partition on (segment, bucket) up
     # front.  bucket = pmod(crc32(term), B) is a pure function of the term,
     # so every row of one (segment, field, term) lands in one partition;
-    # the per-doc aggregation, the block-numbering window, and the block
-    # aggregation all group by supersets of (segment_id, bucket), which
-    # this partitioning satisfies -- Catalyst plans NO further exchange,
-    # and the write is already aligned with its (segment, bucket)
-    # directory partitioning (exactly one file per directory).
-    tokens = (
-        _token_frame(analyzed, meta)
+    # the block-numbering window and the block aggregation both cluster on
+    # supersets of (segment_id, bucket), which this partitioning satisfies
+    # -- Catalyst plans NO further exchange, and the write is already
+    # aligned with its (segment, bucket) directory partitioning (exactly
+    # one file per directory).  Rows entering the exchange are ALREADY
+    # per-(doc, term) postings (freq + sorted positions), combined
+    # map-side in the tokenize stage: the shuffle payload and the
+    # downstream aggregation work shrink by the average term frequency.
+    per_doc = (
+        _posting_frame(analyzed, meta)
         .withColumn(
             "bucket",
             F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(meta.num_buckets)).cast("int"),
         )
         .repartition("segment_id", "bucket")
-    )
-    per_doc = tokens.groupBy("segment_id", "bucket", "field", "term", "docid").agg(
-        F.count("pos").cast("int").alias("freq"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-        F.first("fnid").alias("fnid"),
     )
     w = Window.partitionBy("segment_id", "bucket", "field", "term").orderBy("docid")
     blocked = per_doc.withColumn(
