@@ -185,7 +185,7 @@ def append_segment_batch(
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     prev_coalesce = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
-    ranged, analyzed = _assign_docids_and_tokenize(
+    ranged, docs_frame, slim = _assign_docids_and_tokenize(
         spark,
         df,
         meta,
@@ -196,16 +196,19 @@ def append_segment_batch(
     )
     from pyspark import StorageLevel
 
-    # DISK_ONLY: the tokenized frame is read by four downstream stages but
-    # must not occupy unified heap memory (it starves the posting build's
+    # DISK_ONLY: the slim tokenized frame (ids + postings, NO text or
+    # stored columns) is read by three downstream stages but must not
+    # occupy unified heap memory (it starves the posting build's
     # sort/write execution memory); spark.local.dir points at RAM-backed
     # storage locally, and real clusters get NVMe-speed re-reads.
-    analyzed.persist(StorageLevel.DISK_ONLY)
+    # Excluding the text/stored columns roughly halves both the serialize
+    # cost and every downstream deserialize.
+    slim.persist(StorageLevel.DISK_ONLY)
     try:
-        analyzed.count()  # materialize once; later stages reuse the cache
-        ranged.unpersist()
+        slim.count()  # materialize the one tokenize pass
         write_segment_tables(
-            analyzed,
+            docs_frame,
+            slim,
             storage,
             meta,
             mode=mode,
@@ -213,21 +216,28 @@ def append_segment_batch(
             new_segments=list(range(segment_base, segment_base + num_segments)),
         )
     finally:
-        analyzed.unpersist()
+        slim.unpersist()
+        ranged.unpersist()
         spark.conf.set(coalesce_key, prev_coalesce)
     return list(range(segment_base, segment_base + num_segments))
 
 
 def write_segment_tables(
-    analyzed: DataFrame,
+    docs_frame: DataFrame,
+    slim: DataFrame,
     storage: IndexStorage,
     meta: IndexMeta,
     mode: str,
     pre_publish=None,
     new_segments: Optional[list[int]] = None,
 ) -> None:
-    """Write docs/doclens/postings/terms/field_stats/manifest for the
-    analyzed frame (docid+segment assigned, token arrays per text field).
+    """Write docs/doclens/postings/terms/field_stats/manifest.
+
+    ``docs_frame`` carries (docid, doc_id, content_hash, stored/keyword
+    columns) — an assign-only pass over the pinned ranged cache with NO
+    tokenization.  ``slim`` carries (docid, segment_id, post/len/fnid per
+    text field) — the single tokenize pass, persisted, consumed by the
+    doclens/postings/stats writers without ever deserializing text.
 
     The segment-partitioned tables ALWAYS write mode="overwrite" under
     dynamic partition overwrite: only this batch's own segment_id
@@ -242,11 +252,11 @@ def write_segment_tables(
     tombstones there so delete-of-old and add-of-new become visible in
     the same manifest generation (atomic for readers).
     """
-    _write_docs(analyzed, storage, meta, "overwrite")
-    _write_doclens(analyzed, storage, meta, "overwrite")
-    _write_postings_and_terms(analyzed, storage, meta, "overwrite", new_segments=new_segments)
+    _write_docs(docs_frame, storage, meta, "overwrite")
+    _write_doclens(slim, storage, meta, "overwrite")
+    _write_postings_and_terms(slim, storage, meta, "overwrite", new_segments=new_segments)
     sm_mode = "overwrite" if mode == "overwrite" else "append"
-    seg = _write_stats(analyzed, storage, meta, sm_mode)
+    seg = _write_stats(slim, storage, meta, sm_mode)
     if pre_publish is not None:
         pre_publish()
     _write_manifest(seg, storage, meta, sm_mode)
@@ -263,7 +273,18 @@ def _assign_docids_and_tokenize(
     num_segments: int,
     docid_base: int = 0,
     segment_base: int = 0,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns ``(ranged, docs_frame, slim)``.
+
+    ``ranged`` is the pinned range-partitioned input (caller unpersists
+    after the docs write and the slim materialization).  ``docs_frame``
+    is an assign-only Arrow pass (docid + segment + stored columns, NO
+    tokenization).  ``slim`` is the single tokenize pass emitting ONLY
+    (docid, segment_id, post/len/fnid per text field) — no text, so its
+    persist and every downstream read stay posting-sized.  Both passes
+    read the SAME pinned partitions with the same prefix-sum bases, so
+    they assign identical docids.
+    """
     passthrough = _passthrough_columns(df, meta)
     text_sources = [
         meta.derived_prefix_fields.get(f, f) for f in meta.text_fields
@@ -273,10 +294,18 @@ def _assign_docids_and_tokenize(
         *passthrough,
         *[s for s in text_sources if s in df.columns],
     ]
+    # Sub-partition each segment k ways: the tokenize pass parallelism is
+    # otherwise capped at num_segments.  Docids stay the rank in the total
+    # order (range partitions are ordered, prefix-sum bases span them) and
+    # each segment owns k consecutive partitions = one contiguous docid
+    # range, so segment layout invariants are unchanged.
+    parallelism = spark.sparkContext.defaultParallelism
+    k = max(1, min(8, parallelism // max(1, num_segments)))
+    num_parts = num_segments * k
     ranged = (
         df.select(*dict.fromkeys(select_cols))
         .withColumn("content_hash", content_hash_expr(meta, df))
-        .repartitionByRange(num_segments, *sort_cols)
+        .repartitionByRange(num_parts, *sort_cols)
         .sortWithinPartitions(*sort_cols)
     )
     # Persist so the count job and the docid job see identical partitions
@@ -291,23 +320,24 @@ def _assign_docids_and_tokenize(
     count_map = {r["pid"]: r["count"] for r in counts}
     bases: dict[int, int] = {}
     running = docid_base
-    for pid in range(num_segments):
+    for pid in range(num_parts):
         bases[pid] = running
         running += count_map.get(pid, 0)
 
-    out_fields = [
+    docs_fields = [
         StructField("docid", LongType(), False),
         StructField("segment_id", IntegerType(), False),
         StructField("doc_id", StringType(), False),
         StructField("content_hash", LongType(), False),
     ]
     for name in passthrough:
-        out_fields.append(df.schema[name])
-    # Per-doc postings, combined MAP-SIDE inside this stage: one struct per
-    # distinct term of the doc, positions already collected and sorted.
-    # This is the partial aggregation Catalyst cannot plan itself (an
-    # explicit repartition before groupBy suppresses map-side combine), so
-    # the posting shuffle moves one row per (doc, term) with a packed
+        docs_fields.append(df.schema[name])
+    docs_schema = StructType(docs_fields)
+    # Per-doc postings, combined MAP-SIDE inside the tokenize stage: one
+    # struct per distinct term of the doc, positions already collected and
+    # sorted.  This is the partial aggregation Catalyst cannot plan itself
+    # (an explicit repartition before groupBy suppresses map-side combine),
+    # so the posting shuffle moves one row per (doc, term) with a packed
     # positions array instead of one row per token occurrence — and the
     # per-(doc, term) collect_list aggregation disappears downstream.
     post_type = ArrayType(
@@ -318,19 +348,51 @@ def _assign_docids_and_tokenize(
             ]
         )
     )
+    slim_fields = [
+        StructField("docid", LongType(), False),
+        StructField("segment_id", IntegerType(), False),
+    ]
     for f in meta.text_fields:
-        out_fields.append(StructField(f"post_{f}", post_type, True))
-        out_fields.append(StructField(f"len_{f}", IntegerType(), False))
-        out_fields.append(StructField(f"fnid_{f}", IntegerType(), False))
-    out_schema = StructType(out_fields)
+        slim_fields.append(StructField(f"post_{f}", post_type, True))
+        slim_fields.append(StructField(f"len_{f}", IntegerType(), False))
+        slim_fields.append(StructField(f"fnid_{f}", IntegerType(), False))
+    slim_schema = StructType(slim_fields)
     analyzers = {f: meta.analyzer_of(f) for f in meta.text_fields}
     derived = dict(meta.derived_prefix_fields)
 
-    def assign(batches):
-        """Arrow-native assign stage: passthrough columns are forwarded as
-        raw Arrow buffers (no object conversion); tokenization runs the
-        python analyzer per text field; the per-doc posting combine and
-        all output buffers are built vectorized (C kernels)."""
+    def _ids(pid: int, offset: int, n: int):
+        import pyarrow as pa
+
+        return (
+            pa.array(np.arange(offset, offset + n, dtype=np.int64)),
+            pa.array(np.full(n, segment_base + pid // k, dtype=np.int32)),
+        )
+
+    def assign_docs(batches):
+        """Assign-only Arrow pass: docid/segment prepended, every other
+        column forwarded as raw Arrow buffers — no tokenization, no
+        object conversion."""
+        import pyarrow as pa
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        offset = bases.get(pid, docid_base)
+        for batch in batches:
+            n = batch.num_rows
+            in_cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+            docid, segment = _ids(pid, offset, n)
+            arrays = [docid, segment, in_cols["doc_id"], in_cols["content_hash"]]
+            names = ["docid", "segment_id", "doc_id", "content_hash"]
+            for name in passthrough:
+                arrays.append(in_cols[name])
+                names.append(name)
+            offset += n
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    def assign_tokens(batches):
+        """The tokenize pass: python analyzer per text field, vectorized
+        per-doc posting combine, output buffers built directly (C
+        kernels) — and ONLY posting-sized columns leave this stage."""
         import pyarrow as pa
 
         from ..functions.cass_analyze import cass_tokenize_batch
@@ -341,16 +403,9 @@ def _assign_docids_and_tokenize(
         for batch in batches:
             n = batch.num_rows
             in_cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
-            arrays = [
-                pa.array(np.arange(offset, offset + n, dtype=np.int64)),
-                pa.array(np.full(n, segment_base + pid, dtype=np.int32)),
-                in_cols["doc_id"],
-                in_cols["content_hash"],
-            ]
-            names = ["docid", "segment_id", "doc_id", "content_hash"]
-            for name in passthrough:
-                arrays.append(in_cols[name])
-                names.append(name)
+            docid, segment = _ids(pid, offset, n)
+            arrays = [docid, segment]
+            names = ["docid", "segment_id"]
             texts_cache: dict[str, list] = {}
             for f in meta.text_fields:
                 source = derived.get(f, f)
@@ -387,7 +442,11 @@ def _assign_docids_and_tokenize(
             offset += n
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return ranged, ranged.mapInArrow(assign, schema=out_schema)
+    return (
+        ranged,
+        ranged.mapInArrow(assign_docs, schema=docs_schema),
+        ranged.mapInArrow(assign_tokens, schema=slim_schema),
+    )
 
 
 def _doc_postings_from_tokens(tokens: list) -> list[tuple[str, list[int]]]:

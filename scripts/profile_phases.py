@@ -63,32 +63,30 @@ try:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
     t0 = time.time()
-    ranged, analyzed = B._assign_docids_and_tokenize(
+    ranged, docs_frame, slim = B._assign_docids_and_tokenize(
         spark, df, meta, sort_cols=["conv_id", "turn_idx"],
         num_segments=16, docid_base=0, segment_base=0,
     )
     print(f"assign (ranged count inside): {time.time()-t0:.2f}s")
 
     t0 = time.time()
-    analyzed.persist(StorageLevel.DISK_ONLY)
-    analyzed.count()
+    slim.persist(StorageLevel.DISK_ONLY)
+    slim.count()
     print(f"tokenize+combine+persist+count: {time.time()-t0:.2f}s")
-    ranged.unpersist()
 
-    for name, fn in (
-        ("docs", B._write_docs), ("doclens", B._write_doclens),
-    ):
-        t0 = time.time(); fn(analyzed, storage, meta, "overwrite")
-        print(f"write {name}: {time.time()-t0:.2f}s")
+    t0 = time.time(); B._write_docs(docs_frame, storage, meta, "overwrite")
+    print(f"write docs: {time.time()-t0:.2f}s")
+    t0 = time.time(); B._write_doclens(slim, storage, meta, "overwrite")
+    print(f"write doclens: {time.time()-t0:.2f}s")
     t0 = time.time()
-    B._write_postings_and_terms(analyzed, storage, meta, "overwrite",
+    B._write_postings_and_terms(slim, storage, meta, "overwrite",
                                 new_segments=list(range(16)))
     print(f"write postings+terms: {time.time()-t0:.2f}s")
     t0 = time.time()
-    seg = B._write_stats(analyzed, storage, meta, "overwrite")
+    seg = B._write_stats(slim, storage, meta, "overwrite")
     B._write_manifest(seg, storage, meta, "overwrite")
     print(f"stats+manifest: {time.time()-t0:.2f}s")
-    analyzed.unpersist()
+    slim.unpersist(); ranged.unpersist()
     print(f"TOTAL: {time.time()-t_all:.2f}s")
 finally:
     shutil.rmtree(work, ignore_errors=True)
