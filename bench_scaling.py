@@ -22,9 +22,11 @@ Method notes (all visible in the child code below):
 * the sandbox VM shows bursty CPU steal, so each config can be repeated
   and the best run kept (min-wall estimation).
 
-Usage:  python bench_scaling.py [n_turns] [repeats]
+Usage:  python bench_scaling.py [n_turns] [paired_rounds]
 Env:    SCALE_LO / SCALE_HI (default 1 / 4)
-Writes BENCH.json and prints one JSON line.
+Writes BENCH.json and prints one JSON line.  Each round runs lo then hi
+back-to-back (same host-weather window); the reported efficiency is the
+median of per-round ratios.
 """
 
 from __future__ import annotations
@@ -42,7 +44,7 @@ from frankensearch_spark.session import get_spark
 from frankensearch_spark.index import LexicalIndex
 from frankensearch_spark.sources.transcripts import synthetic_transcripts
 
-cores = int(sys.argv[1]); n_turns = int(sys.argv[2])
+cores = int(sys.argv[1]); n_turns = int(sys.argv[2]); src = sys.argv[3]
 # The JOB is identical at every parallelism level: fixed segment count,
 # fixed shuffle partitioning, fixed input partitioning (a real cluster
 # sizes partitions to the data; core count only sets concurrency).
@@ -56,10 +58,6 @@ try:
     LexicalIndex.build_transcripts(
         spark, warm, os.path.join(work, "warm"), num_segments=SEGMENTS, num_buckets=16
     )
-    src = os.path.join(work, "transcripts")
-    synthetic_transcripts(spark, n_turns, partitions=PARTITIONS).write.mode(
-        "overwrite"
-    ).parquet(src)
     transcripts = spark.read.parquet(src)
     t0 = time.time()
     index = LexicalIndex.build_transcripts(
@@ -81,12 +79,34 @@ finally:
 """
 
 
-def run(cores: int, n_turns: int, attempts: int = 3) -> dict:
+def _materialize_corpus(n_turns: int) -> str:
+    """Generate the shared input table ONCE (deterministic; every child
+    reads the same parquet — the engine's contract is a materialized
+    table, and per-child regeneration would add an unmeasured variance
+    source)."""
+    import tempfile
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    src = os.path.join(tempfile.mkdtemp(prefix="fs_scale_src_", dir=shm), "transcripts")
+    gen = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from frankensearch_spark.session import get_spark\n"
+        "from frankensearch_spark.sources.transcripts import synthetic_transcripts\n"
+        "spark = get_spark(app_name='scale-gen', cores=8, shuffle_partitions=64)\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "synthetic_transcripts(spark, %d, partitions=64).write.mode('overwrite').parquet(%r)\n"
+        "spark.stop()\n"
+    ) % (os.path.dirname(os.path.abspath(__file__)), n_turns, src)
+    subprocess.run([sys.executable, "-c", gen], check=True, timeout=900)
+    return src
+
+
+def run(cores: int, n_turns: int, src: str, attempts: int = 3) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     last_err = ""
     for _ in range(attempts):
         out = subprocess.run(
-            [sys.executable, "-c", CHILD.replace("@REPO@", repo), str(cores), str(n_turns)],
+            [sys.executable, "-c", CHILD.replace("@REPO@", repo), str(cores), str(n_turns), src],
             capture_output=True,
             text=True,
             timeout=1800,
@@ -101,23 +121,36 @@ def run(cores: int, n_turns: int, attempts: int = 3) -> dict:
 
 def main() -> None:
     n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     lo = int(os.environ.get("SCALE_LO", "1"))
     hi = int(os.environ.get("SCALE_HI", "4"))
-    runs_lo, runs_hi = [], []
-    for _ in range(repeats):
-        runs_hi.append(run(hi, n_turns))
-        runs_lo.append(run(lo, n_turns))
-    r_lo = max(runs_lo, key=lambda r: r["turns_per_sec"])
-    r_hi = max(runs_hi, key=lambda r: r["turns_per_sec"])
     ratio = hi / lo
-    eff = r_hi["turns_per_sec"] / (ratio * r_lo["turns_per_sec"])
+    # PAIRED rounds: the sandbox host shows bursty multiplicative noise
+    # (identical back-to-back 4-core builds have measured 126s..238s), so a
+    # lo run and a hi run from different weather windows corrupt the ratio.
+    # Each round runs lo then hi immediately after (same window); the
+    # efficiency estimate is the MEDIAN of per-round ratios — unbiased
+    # under window-level noise, unlike best-of-config which pairs one
+    # config's lucky window with the other's unlucky one.
+    src = _materialize_corpus(n_turns)
+    rounds = []
+    for i in range(repeats):
+        r_lo = run(lo, n_turns, src)
+        r_hi = run(hi, n_turns, src)
+        eff_i = r_hi["turns_per_sec"] / (ratio * r_lo["turns_per_sec"])
+        rounds.append({"lo": r_lo, "hi": r_hi, "efficiency": round(eff_i, 3)})
+        print(json.dumps({"round": i, **rounds[-1]}))
+    effs = sorted(r["efficiency"] for r in rounds)
+    eff = effs[len(effs) // 2]
+    median_round = next(r for r in rounds if r["efficiency"] == eff)
     result = {
         "metric": f"index-build scaling efficiency (N={lo} vs {ratio:.0f}N={hi} local cores)",
         "n_turns": n_turns,
-        "runs": {str(lo): r_lo, str(hi): r_hi},
-        "speedup": round(r_hi["turns_per_sec"] / r_lo["turns_per_sec"], 3),
-        "efficiency": round(eff, 3),
+        "method": "median of per-round paired ratios (lo/hi back-to-back per round)",
+        "runs": {str(lo): median_round["lo"], str(hi): median_round["hi"]},
+        "rounds": rounds,
+        "speedup": round(eff * ratio, 3),
+        "efficiency": eff,
         "gate": "efficiency >= 0.8",
         "pass": eff >= 0.8,
     }
@@ -125,6 +158,9 @@ def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(repo, "BENCH.json"), "w") as fh:
         json.dump(result, fh, indent=1)
+    import shutil
+
+    shutil.rmtree(os.path.dirname(src), ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,14 @@ def get_spark(
         # compaction rewrites only the touched segment partitions
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # The posting shuffle partitions 1:1 with (segment, bucket) output
+        # groups — bounded by publish cadence × buckets (≤ ~4k per batch),
+        # few map tasks per executor.  In that regime the bypass-merge
+        # writer (one stream per reduce partition, concat at close) is
+        # ~5x cheaper CPU than the sort-based path (measured 35s vs 162s
+        # per 10^6-turn batch); open-file count per map task equals the
+        # reduce-partition count, which segment sizing bounds.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "4097")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         # Shuffle/spill to RAM-backed storage: the sandbox's virtual disk

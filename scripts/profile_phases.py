@@ -79,11 +79,13 @@ try:
     t0 = time.time(); B._write_doclens(slim, storage, meta, "overwrite")
     print(f"write doclens: {time.time()-t0:.2f}s")
     t0 = time.time()
+    sub = {}
     B._write_postings_and_terms(slim, storage, meta, "overwrite",
-                                new_segments=list(range(16)))
-    print(f"write postings+terms: {time.time()-t0:.2f}s")
+                                new_segments=list(range(16)), timings=sub)
+    print(f"write postings+terms: {time.time()-t0:.2f}s "
+          f"(postings {sub.get('postings_sec', 0):.2f}s / terms {sub.get('terms_sec', 0):.2f}s)")
     t0 = time.time()
-    seg = B._write_stats(slim, storage, meta, "overwrite")
+    seg = B._write_stats(storage, meta, "overwrite", list(range(16)))
     B._write_manifest(seg, storage, meta, "overwrite")
     print(f"stats+manifest: {time.time()-t0:.2f}s")
     slim.unpersist(); ranged.unpersist()
