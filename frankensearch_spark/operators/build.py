@@ -205,7 +205,7 @@ def append_segment_batch(
     # cost and every downstream deserialize.
     slim.persist(StorageLevel.DISK_ONLY)
     try:
-        slim.count()  # materialize the one tokenize pass
+        n_docs = slim.count()  # materialize the one tokenize pass
         write_segment_tables(
             docs_frame,
             slim,
@@ -214,6 +214,7 @@ def append_segment_batch(
             mode=mode,
             pre_publish=pre_publish,
             new_segments=list(range(segment_base, segment_base + num_segments)),
+            n_docs=n_docs,
         )
     finally:
         slim.unpersist()
@@ -230,6 +231,7 @@ def write_segment_tables(
     mode: str,
     pre_publish=None,
     new_segments: Optional[list[int]] = None,
+    n_docs: Optional[int] = None,
 ) -> None:
     """Write docs/doclens/postings/terms/field_stats/manifest.
 
@@ -254,7 +256,9 @@ def write_segment_tables(
     """
     _write_docs(docs_frame, storage, meta, "overwrite")
     _write_doclens(slim, storage, meta, "overwrite")
-    _write_postings_and_terms(slim, storage, meta, "overwrite", new_segments=new_segments)
+    _write_postings_and_terms(
+        slim, storage, meta, "overwrite", new_segments=new_segments, n_docs=n_docs
+    )
     sm_mode = "overwrite" if mode == "overwrite" else "append"
     if new_segments is None:
         new_segments = [
@@ -656,6 +660,7 @@ def _write_postings_and_terms(
     mode: str,
     new_segments: Optional[list[int]] = None,
     timings: Optional[dict] = None,
+    n_docs: Optional[int] = None,
 ) -> None:
     # ONE posting-scale shuffle: hash-partition on (segment, bucket) up
     # front.  bucket = pmod(crc32(term), B) is a pure function of the term,
@@ -672,18 +677,25 @@ def _write_postings_and_terms(
         new_segments = [
             r["segment_id"] for r in analyzed.select("segment_id").distinct().collect()
         ]
-    # Partition count = one shuffle partition per (segment, bucket) output
-    # group (floored at the session's shuffle parallelism): each task then
-    # sorts exactly one directory's rows — small enough to stay in cache
-    # and never spill (at 64 coarse partitions the per-task sort spilled
-    # ~400 MB and burned ~38% extra CPU at 4 concurrent tasks), and the
-    # write stays exactly one file per directory.  Scale-invariant: group
-    # size is bounded by segment sizing, so partition count grows with
-    # data while per-task work stays constant.
-    n_parts = max(
-        int(analyzed.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")),
-        len(new_segments) * meta.num_buckets,
+    # Shuffle partition count sized to the DATA, bounded by the output
+    # topology: ~4k docs' postings per task (≈5 MB compressed — measured
+    # sweet spot: small enough that the per-task window sort stays
+    # cache-resident and never spills, which at 64 coarse partitions cost
+    # ~400 MB of spill and ~38% extra CPU under 4 concurrent tasks), never
+    # below the session's shuffle parallelism, never above one partition
+    # per (segment, bucket) group.  The cap keeps every group wholly in
+    # one task, so the write stays exactly one file per directory; the
+    # floor keeps small batches from paying 256 task launches for toy
+    # inputs.  Scale-invariant: group size is bounded by segment sizing,
+    # so partition count grows with data while per-task work is constant.
+    n_groups = len(new_segments) * meta.num_buckets
+    conf_parts = int(
+        analyzed.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
     )
+    if n_docs is None:
+        n_parts = max(conf_parts, n_groups)
+    else:
+        n_parts = min(n_groups, max(conf_parts, -(-n_docs // 4000)))
     per_doc = (
         _posting_frame(analyzed, meta)
         .withColumn(

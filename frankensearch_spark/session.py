@@ -34,6 +34,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # compaction rewrites only the touched segment partitions
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # 8g regardless of core count: G1 at 24-32g heaps measured 40-70%
+        # SLOWER for ≤100k-doc builds (young-gen ergonomics), while at the
+        # one measured exception (16 cores × 1M turns) 16g beat 8g by 1.7x
+        # by absorbing execution-pool contention.  Override per-job via
+        # SPARK_DRIVER_MEM when concurrent-task × batch size approaches
+        # the execution pool; on a real cluster per-EXECUTOR heap is fixed
+        # and this knob disappears.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # The posting shuffle partitions 1:1 with (segment, bucket) output
         # groups — bounded by publish cadence × buckets (≤ ~4k per batch),
