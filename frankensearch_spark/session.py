@@ -51,6 +51,12 @@ def get_spark(
         # reduce-partition count, which segment sizing bounds.
         .config("spark.shuffle.sort.bypassMergeThreshold", "4097")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Level 1 builds 19% faster end-to-end than parquet-mr's default
+        # level 3 for only ~1% more bytes on posting-shaped data
+        # (measured: 95s vs 117s per 1M-turn build; 22.25MB vs 22.02MB
+        # index at 50k turns).  Decompression speed is level-invariant,
+        # so the query path is unaffected.
+        .config("spark.hadoop.parquet.compression.codec.zstd.level", "1")
         .config("spark.ui.enabled", "false")
         # Shuffle/spill to RAM-backed storage: the sandbox's virtual disk
         # serializes multi-core shuffles; a real cluster would use local
