@@ -70,11 +70,13 @@ def main() -> None:
             "overwrite"
         ).parquet(src)
         transcripts = spark.read.parquet(src)
-        # best-of-2: the sandbox VM shows ±40% host-level noise between
-        # identical runs; the min is the honest estimate of the engine's
-        # cost (both runs are full cold builds into fresh directories)
+        # best-of-3: the sandbox VM shows multiplicative host-level noise
+        # between identical runs (measured identical builds anywhere from
+        # 6s to 120s in bad weather windows); the min is the honest
+        # estimate of the engine's cost (every run is a full cold build
+        # into a fresh directory)
         build_secs = []
-        for trial in range(2):
+        for trial in range(3):
             t0 = time.time()
             index = LexicalIndex.build_transcripts(
                 spark,

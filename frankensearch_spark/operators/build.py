@@ -205,7 +205,6 @@ def append_segment_batch(
     # cost and every downstream deserialize.
     slim.persist(StorageLevel.DISK_ONLY)
     try:
-        n_docs = slim.count()  # materialize the one tokenize pass
         write_segment_tables(
             docs_frame,
             slim,
@@ -214,7 +213,6 @@ def append_segment_batch(
             mode=mode,
             pre_publish=pre_publish,
             new_segments=list(range(segment_base, segment_base + num_segments)),
-            n_docs=n_docs,
         )
     finally:
         slim.unpersist()
@@ -254,17 +252,51 @@ def write_segment_tables(
     tombstones there so delete-of-old and add-of-new become visible in
     the same manifest generation (atomic for readers).
     """
-    _write_docs(docs_frame, storage, meta, "overwrite")
-    _write_doclens(slim, storage, meta, "overwrite")
-    _write_postings_and_terms(
-        slim, storage, meta, "overwrite", new_segments=new_segments, n_docs=n_docs
-    )
     sm_mode = "overwrite" if mode == "overwrite" else "append"
     if new_segments is None:
         new_segments = [
             r["segment_id"] for r in slim.select("segment_id").distinct().collect()
         ]
-    seg = _write_stats(storage, meta, sm_mode, new_segments)
+    # The three data-table writers are independent jobs over already-
+    # materialized caches writing to DIFFERENT tables (docs <- ranged
+    # cache; doclens and postings <- slim cache), so they run on driver
+    # threads: each job's driver-side planning + commit-protocol renames
+    # overlap another job's executor work instead of serializing with it,
+    # and the cluster never idles between jobs.  Dependencies stay
+    # explicit: terms follows postings (same thread — it reads the
+    # postings table), stats follows doclens (same thread), and the
+    # manifest append — the publish point — happens strictly after every
+    # data table is durable, exactly as before.  Crash semantics are
+    # unchanged: an interrupted batch left unpublished is replaced
+    # wholesale by its replay's dynamic partition overwrite.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _doclens_then_stats() -> DataFrame:
+        _write_doclens(slim, storage, meta, "overwrite")
+        return _write_stats(storage, meta, sm_mode, new_segments)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_docs = pool.submit(_write_docs, docs_frame, storage, meta, "overwrite")
+        if n_docs is None:
+            # Materialize the one tokenize pass (the slim cache) on the
+            # main thread WHILE the docs write runs: the assign-only docs
+            # pass reads the ranged cache, not slim, so the two never
+            # contend for cache blocks.
+            n_docs = slim.count()
+        f_postings = pool.submit(
+            _write_postings_and_terms,
+            slim,
+            storage,
+            meta,
+            "overwrite",
+            new_segments,
+            None,
+            n_docs,
+        )
+        f_stats = pool.submit(_doclens_then_stats)
+        f_docs.result()
+        f_postings.result()
+        seg = f_stats.result()
     if pre_publish is not None:
         pre_publish()
     _write_manifest(seg, storage, meta, sm_mode)

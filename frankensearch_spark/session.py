@@ -57,6 +57,15 @@ def get_spark(
         # index at 50k turns).  Decompression speed is level-invariant,
         # so the query path is unaffected.
         .config("spark.hadoop.parquet.compression.codec.zstd.level", "1")
+        # Commit protocol v2: task outputs move to the destination at task
+        # commit instead of a serial driver-side rename sweep at job
+        # commit — the segment-partitioned writes produce hundreds of
+        # partition directories per batch and v1's O(dirs) driver loop
+        # serializes an otherwise-parallel commit.  Safe here: manifest-
+        # last publish (not output-dir presence) is the visibility
+        # barrier, so a crashed job's stray task files are invisible and
+        # replaced by the replay's dynamic partition overwrite.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.ui.enabled", "false")
         # Shuffle/spill to RAM-backed storage: the sandbox's virtual disk
         # serializes multi-core shuffles; a real cluster would use local
