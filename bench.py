@@ -70,13 +70,15 @@ def main() -> None:
             "overwrite"
         ).parquet(src)
         transcripts = spark.read.parquet(src)
-        # best-of-3: the sandbox VM shows multiplicative host-level noise
-        # between identical runs (measured identical builds anywhere from
-        # 6s to 120s in bad weather windows); the min is the honest
-        # estimate of the engine's cost (every run is a full cold build
-        # into a fresh directory)
+        # Measure-until-stable: the sandbox VM shows multiplicative
+        # host-level noise between identical runs (identical builds
+        # measured anywhere from 6s to 120s across weather windows), so a
+        # fixed trial count can record a number that is all weather.  Run
+        # 3-6 full cold builds into fresh directories and stop as soon as
+        # the two fastest agree within 30% — evidence the floor (the
+        # engine's real cost) has been reached; the min is the estimate.
         build_secs = []
-        for trial in range(3):
+        for trial in range(6):
             t0 = time.time()
             index = LexicalIndex.build_transcripts(
                 spark,
@@ -86,6 +88,9 @@ def main() -> None:
                 num_buckets=16,
             )
             build_secs.append(time.time() - t0)
+            fastest = sorted(build_secs)
+            if trial >= 2 and fastest[1] <= 1.3 * fastest[0]:
+                break
         build_sec = min(build_secs)
         queries["index_build_transcripts"] = round(build_sec, 3)
         queries["index_build_transcripts_runs"] = [round(s, 3) for s in build_secs]

@@ -44,7 +44,7 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 import pandas as pd
 from pyspark import TaskContext
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -697,8 +697,8 @@ def _write_postings_and_terms(
     # ONE posting-scale shuffle: hash-partition on (segment, bucket) up
     # front.  bucket = pmod(crc32(term), B) is a pure function of the term,
     # so every row of one (segment, field, term) lands in one partition;
-    # the block-numbering window and the block aggregation both cluster on
-    # supersets of (segment_id, bucket), which this partitioning satisfies
+    # the per-term posting aggregation clusters on a superset of
+    # (segment_id, bucket), which this partitioning satisfies
     # -- Catalyst plans NO further exchange, and the write is already
     # aligned with its (segment, bucket) directory partitioning (exactly
     # one file per directory).  Rows entering the exchange are ALREADY
@@ -711,7 +711,7 @@ def _write_postings_and_terms(
         ]
     # Shuffle partition count sized to the DATA, bounded by the output
     # topology: ~4k docs' postings per task (≈5 MB compressed — measured
-    # sweet spot: small enough that the per-task window sort stays
+    # sweet spot: small enough that the per-task aggregation state stays
     # cache-resident and never spills, which at 64 coarse partitions cost
     # ~400 MB of spill and ~38% extra CPU under 4 concurrent tasks), never
     # below the session's shuffle parallelism, never above one partition
@@ -736,30 +736,51 @@ def _write_postings_and_terms(
         )
         .repartition(n_parts, "segment_id", "bucket")
     )
-    w = Window.partitionBy("segment_id", "bucket", "field", "term").orderBy("docid")
-    blocked = per_doc.withColumn(
-        "block_id",
-        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(POSTINGS_PER_BLOCK)).cast("int"),
-    )
     entry = F.struct(
         F.col("docid"),
         F.col("freq"),
         F.col("fnid"),
         *([F.col("positions")] if meta.positions else []),
     )
-    agg = blocked.groupBy("segment_id", "bucket", "field", "term", "block_id").agg(
-        F.sort_array(F.collect_list(entry)).alias("packed")
+    # ONE hash aggregation builds each term's complete per-segment posting
+    # list (struct comparison sorts by its first field, docid), then a
+    # transform/slice/posexplode carves the sorted list into 128-entry
+    # blocks (block_id = slice ordinal).  This replaces the previous
+    # row_number window + per-block groupBy: the window's partition-wide
+    # sort over every posting row cost more than the per-term array sorts
+    # it replaced (paired same-window rounds: 9.8s vs 5.7s for the 100k-
+    # turn posting phase) and needed a second aggregation pass.  Output is
+    # bit-identical (verified by full-table hash).  Memory per aggregation
+    # row is one term's postings within one segment — bounded by segment
+    # sizing (the 64Ki-lease analogue), the same bound the reference's
+    # in-memory posting builder relies on (index.rs radix accumulator).
+    # Everything still clusters on the ONE (segment, bucket) exchange.
+    per_term = per_doc.groupBy("segment_id", "bucket", "field", "term").agg(
+        F.sort_array(F.collect_list(entry)).alias("plist")
+    )
+    _bpb = POSTINGS_PER_BLOCK
+    sliced = per_term.select(
+        "segment_id",
+        "field",
+        "term",
+        "bucket",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(plist)/{_bpb}.0)) - 1),"
+                f" i -> slice(plist, i*{_bpb}+1, {_bpb}))"
+            )
+        ).alias("block_id", "packed"),
     )
     # Posting blocks persist (docid, freq, fnid) as one struct array and
     # the (large) positions as a PARALLEL column: Parquet columnarizes
     # both, and keeping positions outside the scoring struct lets column
     # pruning skip position bytes entirely on non-phrase queries (nested
     # pruning cannot reach through the explode otherwise).
-    postings = agg.select(
+    postings = sliced.select(
         "segment_id",
         "field",
         "term",
-        "block_id",
+        F.col("block_id").cast("int").alias("block_id"),
         "bucket",
         F.element_at("packed", 1)["docid"].alias("first_doc"),
         F.size("packed").cast("int").alias("count"),
