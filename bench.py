@@ -74,11 +74,13 @@ def main() -> None:
         # host-level noise between identical runs (identical builds
         # measured anywhere from 6s to 120s across weather windows), so a
         # fixed trial count can record a number that is all weather.  Run
-        # 3-6 full cold builds into fresh directories and stop as soon as
-        # the two fastest agree within 30% — evidence the floor (the
-        # engine's real cost) has been reached; the min is the estimate.
+        # 4-10 full cold builds into fresh directories and stop once the
+        # two fastest agree within 20% AND the floor has stopped improving
+        # (the last two trials did not beat it) — two consecutive runs
+        # inside the same slow window agree with each other, so agreement
+        # alone is not evidence the floor was reached.  Min is the estimate.
         build_secs = []
-        for trial in range(6):
+        for trial in range(10):
             t0 = time.time()
             index = LexicalIndex.build_transcripts(
                 spark,
@@ -89,7 +91,11 @@ def main() -> None:
             )
             build_secs.append(time.time() - t0)
             fastest = sorted(build_secs)
-            if trial >= 2 and fastest[1] <= 1.3 * fastest[0]:
+            if trial < 3:
+                continue
+            converged = fastest[1] <= 1.2 * fastest[0]
+            floor_is_recent = build_secs.index(min(build_secs)) >= len(build_secs) - 2
+            if converged and not floor_is_recent:
                 break
         build_sec = min(build_secs)
         queries["index_build_transcripts"] = round(build_sec, 3)
@@ -120,15 +126,18 @@ def main() -> None:
                 F.col("text").alias("content"),
             )
             n_docs = docs.count()
-            t0 = time.time()
-            LexicalIndex(spark, os.path.join(work, "docs_index")).build(
-                docs,
-                text_fields=("content",),
-                sort_cols=("doc_id",),
-                num_segments=8,
-                num_buckets=8,
-            )
-            dt = time.time() - t0
+            doc_secs = []
+            for trial in range(3):  # min-of-3 against host weather
+                t0 = time.time()
+                LexicalIndex(spark, os.path.join(work, f"docs_index_{trial}")).build(
+                    docs,
+                    text_fields=("content",),
+                    sort_cols=("doc_id",),
+                    num_segments=8,
+                    num_buckets=8,
+                )
+                doc_secs.append(time.time() - t0)
+            dt = min(doc_secs)
             queries["index_build_documents"] = round(dt, 3)
             docs_per_sec = n_docs / dt
 
