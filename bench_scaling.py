@@ -101,20 +101,41 @@ def _materialize_corpus(n_turns: int) -> str:
     return src
 
 
+def _host_counters() -> tuple[float, float, float]:
+    """(wall_sec, busy_ticks, steal_ticks) from /proc/stat — the hypervisor
+    steal counter is the direct witness of the sandbox's bursty host noise
+    (identical builds measure 6s..120s across weather windows)."""
+    import time as _t
+
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    busy = int(f[1]) + int(f[2]) + int(f[3])
+    steal = int(f[8]) if len(f) > 8 else 0
+    return _t.time(), busy, steal
+
+
 def run(cores: int, n_turns: int, src: str, attempts: int = 3) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     last_err = ""
     for _ in range(attempts):
+        t0, _, s0 = _host_counters()
         out = subprocess.run(
             [sys.executable, "-c", CHILD.replace("@REPO@", repo), str(cores), str(n_turns), src],
             capture_output=True,
             text=True,
             timeout=1800,
         )
+        t1, _, s1 = _host_counters()
         for line in out.stdout.splitlines():
             line = line.strip()
             if line.startswith("{"):
-                return json.loads(line)
+                r = json.loads(line)
+                # steal as % of the cores THIS child was entitled to:
+                # 100 ticks/core-sec; >10-15% marks a corrupted window.
+                r["host_steal_pct"] = round(
+                    100.0 * (s1 - s0) / max(1.0, cores * 100.0 * (t1 - t0)), 1
+                )
+                return r
         last_err = out.stderr[-4000:]
     raise RuntimeError(f"child failed (cores={cores}):\n{last_err}")
 
