@@ -130,10 +130,13 @@ def run(cores: int, n_turns: int, src: str, attempts: int = 3) -> dict:
             line = line.strip()
             if line.startswith("{"):
                 r = json.loads(line)
-                # steal as % of the cores THIS child was entitled to:
-                # 100 ticks/core-sec; >10-15% marks a corrupted window.
+                # machine-wide steal % over the child's window (steal hits
+                # all CPUs, so normalize by the whole box, not the child's
+                # core count): ~3% is this host's background hum; >>10%
+                # marks a weather window that corrupts the ratio.
+                ncpu = os.cpu_count() or 1
                 r["host_steal_pct"] = round(
-                    100.0 * (s1 - s0) / max(1.0, cores * 100.0 * (t1 - t0)), 1
+                    100.0 * (s1 - s0) / max(1.0, ncpu * 100.0 * (t1 - t0)), 1
                 )
                 return r
         last_err = out.stderr[-4000:]
