@@ -263,8 +263,7 @@ def write_segment_tables(
     # threads: each job's driver-side planning + commit-protocol renames
     # overlap another job's executor work instead of serializing with it,
     # and the cluster never idles between jobs.  Dependencies stay
-    # explicit: terms follows postings (same thread — it reads the
-    # postings table), stats follows doclens (same thread), and the
+    # explicit: stats follows doclens (same thread), and the
     # manifest append — the publish point — happens strictly after every
     # data table is durable, exactly as before.  Crash semantics are
     # unchanged: an interrupted batch left unpublished is replaced
@@ -284,7 +283,7 @@ def write_segment_tables(
             # contend for cache blocks.
             n_docs = slim.count()
         f_postings = pool.submit(
-            _write_postings_and_terms,
+            _write_postings,
             slim,
             storage,
             meta,
@@ -685,7 +684,7 @@ def _posting_frame(analyzed: DataFrame, meta: IndexMeta) -> DataFrame:
     return out
 
 
-def _write_postings_and_terms(
+def _write_postings(
     analyzed: DataFrame,
     storage: IndexStorage,
     meta: IndexMeta,
@@ -759,11 +758,21 @@ def _write_postings_and_terms(
         F.sort_array(F.collect_list(entry)).alias("plist")
     )
     _bpb = POSTINGS_PER_BLOCK
+    # The term dictionary is EMBEDDED in the block rows: every block of a
+    # term carries the term's full per-segment df/cf (constant per term →
+    # RLE-compressed to nothing in Parquet).  storage.read("terms")
+    # derives the dictionary as a scalar projection of block_id=0 rows, so
+    # there is no separate terms table to write here, to copy at merge,
+    # or to rebuild at compaction (reference analogue: the term dictionary
+    # is sealed into the same segment artifact as its postings,
+    # quiver.rs TERMS/POSTING regions of one segment file).
     sliced = per_term.select(
         "segment_id",
         "field",
         "term",
         "bucket",
+        F.size("plist").cast("long").alias("term_df"),
+        F.expr("aggregate(plist.freq, 0L, (a, x) -> a + x)").alias("term_cf"),
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, int(ceil(size(plist)/{_bpb}.0)) - 1),"
@@ -782,6 +791,8 @@ def _write_postings_and_terms(
         "term",
         F.col("block_id").cast("int").alias("block_id"),
         "bucket",
+        "term_df",
+        "term_cf",
         F.element_at("packed", 1)["docid"].alias("first_doc"),
         F.size("packed").cast("int").alias("count"),
         F.least(F.expr("array_max(packed.freq)"), F.lit(255)).cast("int").alias("max_freq_code"),
@@ -800,35 +811,6 @@ def _write_postings_and_terms(
     storage.write_table(postings, "postings", mode, partition_by=("segment_id", "bucket"))
     if timings is not None:
         timings["postings_sec"] = time.time() - t0
-
-    # Per-segment dictionary rows: the snapshot df/cf of a term is the sum
-    # over live segments at probe time, so dictionary maintenance is
-    # append-only too (no global rewrite per commit — SURVEY §2.7).  The
-    # read-back touches ONLY the small scalar columns (count, block_cf) —
-    # column pruning skips the posting payloads entirely, so this pass
-    # costs one metadata-width scan + one tiny shuffle of dictionary rows.
-    terms = (
-        storage.read("postings")
-        .where(F.col("segment_id").isin(new_segments))
-        .groupBy("segment_id", "field", "term")
-        .agg(
-            F.sum("count").cast("long").alias("df"),
-            F.sum("block_cf").cast("long").alias("cf"),
-        )
-        .withColumn(
-            "bucket",
-            F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(meta.num_buckets)).cast("int"),
-        )
-    )
-    t0 = time.time()
-    storage.write_table(
-        terms.repartition("segment_id", "bucket"),
-        "terms",
-        mode,
-        partition_by=("segment_id", "bucket"),
-    )
-    if timings is not None:
-        timings["terms_sec"] = time.time() - t0
 
 
 def _write_stats(

@@ -310,7 +310,8 @@ class IndexMaintenance:
         segment_ids = sorted(segment_ids)
         _, out_seg = self.storage.next_bases()
         mapping = {s: out_seg for s in segment_ids}
-        # docs / doclens / terms / postings: re-key to the output segment.
+        # docs / doclens / postings: re-key to the output segment (the
+        # dictionary rides inside the posting blocks).
         # mode("overwrite") + dynamic partition overwrite replaces exactly
         # the output segment's partitions, so a merge that crashed after
         # some writes re-runs idempotently (next_bases reads the unswapped
@@ -323,22 +324,21 @@ class IndexMaintenance:
                 .withColumn("segment_id", F.lit(out_seg))
             )
             self.storage.write_table(df, table, "overwrite", partition_by=("segment_id",))
-        terms = (
-            self.storage.read("terms")
-            .where(F.col("segment_id").isin(segment_ids))
-            .groupBy("field", "term", "bucket")
-            .agg(F.sum("df").cast("long").alias("df"), F.sum("cf").cast("long").alias("cf"))
-            .withColumn("segment_id", F.lit(out_seg))
-        )
-        self.storage.write_table(
-            terms, "terms", "overwrite", partition_by=("segment_id", "bucket")
-        )
+        # Blocks are copied as-is (Q1: no docid rebase) with the block
+        # ordinal recomputed across the concatenated inputs; the embedded
+        # dictionary (term_df/term_cf = the term's full per-segment
+        # totals) is recomputed as window sums over the SAME (field, term)
+        # partitioning the block reorder already shuffles on, so the merge
+        # stays one exchange and no separate dictionary copy exists.
         w = Window.partitionBy("field", "term").orderBy("first_doc")
+        w_all = Window.partitionBy("field", "term")
         postings = (
             self.storage.read("postings")
             .where(F.col("segment_id").isin(segment_ids))
             .withColumn("segment_id", F.lit(out_seg))
             .withColumn("block_id", (F.row_number().over(w) - F.lit(1)).cast("int"))
+            .withColumn("term_df", F.sum("count").over(w_all).cast("long"))
+            .withColumn("term_cf", F.sum("block_cf").over(w_all).cast("long"))
         )
         self.storage.write_table(
             postings, "postings", "overwrite", partition_by=("segment_id", "bucket")
@@ -371,7 +371,7 @@ class IndexMaintenance:
         paths.  Safe only when no reader is pinned to an older manifest."""
         live = set(self.storage.live_segments())
         removed = []
-        for table in ("docs", "doclens", "postings", "terms"):
+        for table in ("docs", "doclens", "postings", "terms"):  # terms: legacy dirs only
             root = self.storage.path(table)
             if not os.path.isdir(root):
                 continue
@@ -457,12 +457,27 @@ class IndexMaintenance:
         agg = blocked.groupBy("segment_id", "field", "term", "bucket", "block_id").agg(
             F.sort_array(F.collect_list(entry)).alias("packed")
         )
+        # Embedded dictionary: the survivors' per-segment df/cf are window
+        # sums over the same (segment, field, term) partitioning the
+        # grouping already clustered on — no extra exchange, and no
+        # physical terms table to rebuild afterwards.
+        w_term = Window.partitionBy("segment_id", "field", "term")
+        agg = agg.withColumn(
+            "term_df", F.sum(F.size("packed")).over(w_term).cast("long")
+        ).withColumn(
+            "term_cf",
+            F.sum(F.expr("aggregate(packed.freq, 0L, (a, x) -> a + x)"))
+            .over(w_term)
+            .cast("long"),
+        )
         new_postings = agg.select(
             seg_map[F.col("segment_id")].alias("segment_id"),
             "field",
             "term",
             "block_id",
             "bucket",
+            "term_df",
+            "term_cf",
             F.element_at("packed", 1)["docid"].alias("first_doc"),
             F.size("packed").cast("int").alias("count"),
             F.least(F.expr("array_max(packed.freq)"), F.lit(255)).cast("int").alias(
@@ -484,20 +499,8 @@ class IndexMaintenance:
         self.storage.write_table(
             new_postings, "postings", "overwrite", partition_by=("segment_id", "bucket")
         )
-        # fresh dictionary + stats for the output segments
+        # fresh stats for the output segments (dictionary is embedded)
         out_segs = sorted(mapping.values())
-        terms = (
-            self.storage.read("postings")
-            .where(F.col("segment_id").isin(out_segs))
-            .groupBy("segment_id", "field", "term", "bucket")
-            .agg(
-                F.sum("count").cast("long").alias("df"),
-                F.sum("block_cf").cast("long").alias("cf"),
-            )
-        )
-        self.storage.write_table(
-            terms, "terms", "overwrite", partition_by=("segment_id", "bucket")
-        )
         doclens = self.storage.read("doclens").where(F.col("segment_id").isin(out_segs))
         stat_rows = []
         for field in self.meta.text_fields:

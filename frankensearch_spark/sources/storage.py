@@ -112,7 +112,36 @@ class IndexStorage:
         return os.path.join(self.index_dir, table)
 
     def read(self, table: str) -> DataFrame:
+        if table == "terms":
+            return self._read_terms()
         return self.spark.read.format(self.format).load(self.path(table))
+
+    def _read_terms(self) -> DataFrame:
+        """The term dictionary as a LOGICAL table.
+
+        Posting block rows embed their term's full per-segment df/cf
+        (``term_df``/``term_cf`` — constant per term, RLE-compressed to
+        nothing), so the dictionary is a scalar projection of the
+        ``block_id = 0`` rows: Parquet column pruning skips the posting
+        payload columns entirely and the ``block_id`` predicate prunes at
+        row-group level.  No physical terms table is written, copied at
+        merge, or rebuilt at compaction.  Falls back to a physical
+        ``terms/`` directory for indexes written before the dictionary was
+        embedded.
+        """
+        from pyspark.sql import functions as F
+
+        postings = self.spark.read.format(self.format).load(self.path("postings"))
+        if "term_df" not in postings.columns:
+            return self.spark.read.format(self.format).load(self.path("terms"))
+        return postings.where(F.col("block_id") == 0).select(
+            "segment_id",
+            "field",
+            "term",
+            "bucket",
+            F.col("term_df").alias("df"),
+            F.col("term_cf").alias("cf"),
+        )
 
     def write_table(
         self,

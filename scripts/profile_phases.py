@@ -80,10 +80,9 @@ try:
     print(f"write doclens: {time.time()-t0:.2f}s")
     t0 = time.time()
     sub = {}
-    B._write_postings_and_terms(slim, storage, meta, "overwrite",
+    B._write_postings(slim, storage, meta, "overwrite",
                                 new_segments=list(range(16)), timings=sub)
-    print(f"write postings+terms: {time.time()-t0:.2f}s "
-          f"(postings {sub.get('postings_sec', 0):.2f}s / terms {sub.get('terms_sec', 0):.2f}s)")
+    print(f"write postings (dictionary embedded): {time.time()-t0:.2f}s")
     t0 = time.time()
     seg = B._write_stats(storage, meta, "overwrite", list(range(16)))
     B._write_manifest(seg, storage, meta, "overwrite")

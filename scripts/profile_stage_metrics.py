@@ -46,8 +46,8 @@ try:
     # mark stage boundary: record job ids before postings
     st = spark.sparkContext.statusTracker
     t0 = time.time()
-    B._write_postings_and_terms(slim, storage, meta, "overwrite", new_segments=list(range(SEGMENTS)))
-    print(f"postings+terms: {time.time()-t0:.2f}s", file=sys.stderr)
+    B._write_postings(slim, storage, meta, "overwrite", new_segments=list(range(SEGMENTS)))
+    print(f"postings: {time.time()-t0:.2f}s", file=sys.stderr)
     data = json.load(urllib.request.urlopen("http://localhost:4099/api/v1/applications"))
     app = data[0]["id"]
     stages = json.load(urllib.request.urlopen(f"http://localhost:4099/api/v1/applications/{app}/stages?status=complete"))

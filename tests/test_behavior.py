@@ -217,7 +217,9 @@ def test_behavior_segments_durability(built, tmp_path_factory):
     import os
 
     storage = built.storage
-    for table in ("docs", "doclens", "postings", "terms", "manifest"):
+    # terms is a logical table derived from the posting blocks' embedded
+    # dictionary columns — only the physical directories are asserted
+    for table in ("docs", "doclens", "postings", "manifest"):
         path = storage.path(table)
         assert path.startswith(built.index_dir)
         assert os.path.isdir(path)
