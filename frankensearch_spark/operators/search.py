@@ -83,6 +83,12 @@ class SearchEngine:
         # NEXT generation are gated out until its manifest append.
         self.generation = self.storage.current_generation()
         self._tombstones = self.storage.pinned_tombstones(self.generation)
+        #: per-table base DataFrames, created once at open: re-creating
+        #: spark.read per query re-runs the file-listing job (hundreds of
+        #: (segment, bucket) directories), and a FROZEN file index is what
+        #: snapshot pinning wants anyway — files appearing after open
+        #: must not be visible until reopen()
+        self._table_cache: dict[str, DataFrame] = {}
 
         # snapshot stats: N (total docs) and avgdl per field, from the live
         # segments' at-seal rows (tombstones do NOT adjust stats until
@@ -289,10 +295,24 @@ class SearchEngine:
             return self.parser.parse_lenient(query).query
         return query
 
+    def _base_table(self, table: str) -> DataFrame:
+        df = self._table_cache.get(table)
+        if df is None:
+            if table == "terms":
+                # derive the dictionary from the CACHED postings frame so
+                # both views share one file index (one listing at open)
+                derived = IndexStorage.derive_terms(self._base_table("postings"))
+                df = derived if derived is not None else self.storage.read("terms")
+            else:
+                df = self.storage.read(table)
+            self._table_cache[table] = df
+        return df
+
     def _read_live(self, table: str) -> DataFrame:
         """Read a per-segment table pinned to this engine's snapshot."""
-        df = self.storage.read(table)
-        return df.where(F.col("segment_id").isin(self.live_segments))
+        return self._base_table(table).where(
+            F.col("segment_id").isin(self.live_segments)
+        )
 
     def _filter_tombstones(self, frame: DataFrame) -> DataFrame:
         """Drop tombstoned docids from a (docid, ...) frame.

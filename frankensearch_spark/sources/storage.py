@@ -129,11 +129,20 @@ class IndexStorage:
         ``terms/`` directory for indexes written before the dictionary was
         embedded.
         """
+        postings = self.spark.read.format(self.format).load(self.path("postings"))
+        derived = self.derive_terms(postings)
+        if derived is None:
+            return self.spark.read.format(self.format).load(self.path("terms"))
+        return derived
+
+    @staticmethod
+    def derive_terms(postings: DataFrame):
+        """Dictionary projection of a postings frame (None if the frame
+        predates the embedded dictionary)."""
         from pyspark.sql import functions as F
 
-        postings = self.spark.read.format(self.format).load(self.path("postings"))
         if "term_df" not in postings.columns:
-            return self.spark.read.format(self.format).load(self.path("terms"))
+            return None
         return postings.where(F.col("block_id") == 0).select(
             "segment_id",
             "field",
