@@ -231,7 +231,8 @@ def write_segment_tables(
     new_segments: Optional[list[int]] = None,
     n_docs: Optional[int] = None,
 ) -> None:
-    """Write docs/doclens/postings/terms/field_stats/manifest.
+    """Write docs/doclens/postings/field_stats/manifest (the term
+    dictionary is embedded in the posting blocks).
 
     ``docs_frame`` carries (docid, doc_id, content_hash, stored/keyword
     columns) — an assign-only pass over the pinned ranged cache with NO

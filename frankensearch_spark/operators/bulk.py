@@ -15,7 +15,7 @@ Spark analogue:
    then recorded in the plan (atomic json rewrite).  The manifest rows of
    a batch are written last, so a batch is visible only when complete.
 3. **Idempotent re-run** — a batch that crashed mid-write is re-run with
-   dynamic partition overwrite: docs/doclens/postings/terms are
+   dynamic partition overwrite: docs/doclens/postings are
    partitioned by ``segment_id``, so the rewrite replaces exactly the
    partial batch's own directories.  field_stats/manifest appends may
    duplicate rows on such a re-run; every reader deduplicates by
