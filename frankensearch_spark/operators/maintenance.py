@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.contract import POSTINGS_PER_BLOCK
-from ..sources.storage import IndexMeta, IndexStorage
+from ..sources.storage import TOMBSTONE_BROADCAST_MAX, IndexMeta, IndexStorage
 from .build import append_segment_batch
 
 #: Rewrite a segment when tombstoned docs reach this share (config.rs:29).
@@ -62,6 +62,10 @@ class IndexMaintenance:
         self.spark = spark
         self.storage = IndexStorage(spark, index_dir)
         self.meta: IndexMeta = self.storage.read_meta()
+        #: Force-broadcast the dead-docid anti-joins in compaction only up
+        #: to this many tombstones; larger sets use plain shuffled joins
+        #: (same gate as SearchEngine — see storage.TOMBSTONE_BROADCAST_MAX).
+        self.tombstone_broadcast_max = TOMBSTONE_BROADCAST_MAX
 
     # ── delete / upsert ───────────────────────────────────────────────────
 
@@ -393,12 +397,25 @@ class IndexMaintenance:
         seg_map = F.create_map(
             *[F.lit(x) for pair in mapping.items() for x in pair]
         )
-        dead = self.storage.read("tombstones").select("docid")
+        # Docids are globally unique, so only the victim segments' own
+        # tombstones can match their rows — restricting the dead set first
+        # keeps it proportional to the segments being rewritten, not the
+        # whole index's delete history.
+        dead = (
+            self.storage.read("tombstones")
+            .where(F.col("segment_id").isin(srcs))
+            .select("docid")
+            .persist()
+        )
+        n_dead = dead.count()
+        dead_side = (
+            F.broadcast(dead) if n_dead <= self.tombstone_broadcast_max else dead
+        )
         for table in ("docs", "doclens"):
             df = (
                 self.storage.read(table)
                 .where(F.col("segment_id").isin(srcs))
-                .join(F.broadcast(dead), on="docid", how="left_anti")
+                .join(dead_side, on="docid", how="left_anti")
                 .withColumn("segment_id", seg_map[F.col("segment_id")])
             )
             # dynamic partition overwrite: crash-replay idempotence (the
@@ -440,7 +457,7 @@ class IndexMaintenance:
                 F.col("e.freq").alias("freq"),
                 F.col("e.fnid").alias("fnid"),
             )
-        survivors = exploded.join(F.broadcast(dead), on="docid", how="left_anti")
+        survivors = exploded.join(dead_side, on="docid", how="left_anti")
         w = Window.partitionBy("segment_id", "field", "term").orderBy("docid")
         blocked = survivors.withColumn(
             "block_id",
@@ -523,6 +540,7 @@ class IndexMaintenance:
         for s in stat_rows[1:]:
             stats = stats.unionByName(s)
         self.storage.write_table(stats, "field_stats", "append", coalesce=1)
+        dead.unpersist()
 
     def _publish_supersede(
         self,

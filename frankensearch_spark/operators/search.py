@@ -49,7 +49,7 @@ from ..functions.snippet import SnippetGenerator
 from ..plans import glob
 from ..plans import query as q
 from ..plans.eval import EvalPlan, LeafSpec, compile_query, evaluate_tree, phrase_weight
-from ..sources.storage import IndexStorage
+from ..sources.storage import TOMBSTONE_BROADCAST_MAX, IndexStorage
 
 
 @dataclass
@@ -82,7 +82,14 @@ class SearchEngine:
         # isolation), and tombstones staged by an in-flight upsert for the
         # NEXT generation are gated out until its manifest append.
         self.generation = self.storage.current_generation()
-        self._tombstones = self.storage.pinned_tombstones(self.generation)
+        self._tombstones, self._tombstone_count = self.storage.pinned_tombstones(
+            self.generation
+        )
+        #: Force-broadcast the tombstone anti-join only up to this many
+        #: tombstoned docids (sources.storage.TOMBSTONE_BROADCAST_MAX);
+        #: larger sets use a plain left_anti join so a delete-heavy index
+        #: can't OOM the executors at cluster scale.
+        self.tombstone_broadcast_max = TOMBSTONE_BROADCAST_MAX
         #: per-table base DataFrames, created once at open: re-creating
         #: spark.read per query re-runs the file-listing job (hundreds of
         #: (segment, bucket) directories), and a FROZEN file index is what
@@ -319,11 +326,15 @@ class SearchEngine:
 
         Tombstones live outside the immutable segments (reference plan
         §10.5) and are folded at compaction; until then every query
-        anti-joins the (small, broadcast) tombstone set pinned at open.
+        anti-joins the tombstone set pinned at open — broadcast while it
+        is small, plain (shuffled) left_anti past the size gate.
         """
         if self._tombstones is None:
             return frame
-        return frame.join(F.broadcast(self._tombstones), on="docid", how="left_anti")
+        tombs = self._tombstones
+        if self._tombstone_count <= self.tombstone_broadcast_max:
+            tombs = F.broadcast(tombs)
+        return frame.join(tombs, on="docid", how="left_anti")
 
     def _evaluate(self, plan: EvalPlan) -> Optional[DataFrame]:
         """Return DataFrame (docid long, score float32) of matching docs."""

@@ -43,6 +43,16 @@ from pyspark.sql import functions as F
 
 INDEX_META = "index_meta.json"
 
+#: Broadcast the tombstone docid set into anti-joins only while it is at
+#: most this many rows.  A broadcast materializes the whole set on the
+#: driver AND once per executor; past ~10^7 docids (~80 MB of longs plus
+#: hash-set overhead) that becomes the cluster-scale failure mode the
+#: reference avoids with per-segment tombstone bitsets (plan §10.5).
+#: Larger sets fall back to a plain shuffled left_anti join — Catalyst /
+#: AQE may still *choose* a broadcast from its own size stats, which is
+#: fine; the gate only stops us from forcing one.
+TOMBSTONE_BROADCAST_MAX = 10_000_000
+
 
 @dataclass
 class IndexMeta:
@@ -228,25 +238,30 @@ class IndexStorage:
         """Tombstoned docids visible at ``generation``, pinned to the
         tombstone files present right now (snapshot isolation for deletes:
         tombstones appended after this call are invisible to the caller,
-        mirroring how ``live_segments`` pins the segment set).  Returns a
-        persisted single-column (docid) DataFrame, or None when empty.
+        mirroring how ``live_segments`` pins the segment set).  Returns
+        ``(df, count)`` where ``df`` is a persisted single-column (docid)
+        DataFrame (``(None, 0)`` when empty); the count lets callers
+        size-gate broadcast anti-joins against the set.
         """
         root = self.path("tombstones")
         if not os.path.isdir(root):
-            return None
+            return None, 0
         files = sorted(
             os.path.join(root, f)
             for f in os.listdir(root)
             if f.endswith(".parquet")
         )
         if not files:
-            return None
+            return None, 0
         df = self.spark.read.parquet(*files)
         if "generation" in df.columns:
             df = df.where(F.col("generation") <= generation)
         df = df.select("docid").distinct().persist()
-        df.count()
-        return df
+        n = df.count()
+        if n == 0:
+            df.unpersist()
+            return None, 0
+        return df, n
 
     def next_bases(self) -> tuple[int, int]:
         """(next docid, next segment id) from the manifest high-watermarks.
