@@ -179,6 +179,10 @@ def append_segment_batch(
     the analogue of the reference's seal-then-publish commit protocol
     (``index.rs:6054``).  Returns the new segment ids.
     """
+    if mode == "append":
+        # no mixed dictionary state: appending embedded-dictionary blocks
+        # onto a legacy postings table silently corrupts BM25 stats
+        storage.assert_appendable()
     # AQE's partition coalescing optimizes for task-size, which throttles
     # the build's CPU-bound aggregation stages on small-ish inputs; keep
     # the build at full parallelism (AQE skew handling stays on for reads).
@@ -279,9 +283,10 @@ def write_segment_tables(
         f_docs = pool.submit(_write_docs, docs_frame, storage, meta, "overwrite")
         if n_docs is None:
             # Materialize the one tokenize pass (the slim cache) on the
-            # main thread WHILE the docs write runs: the assign-only docs
-            # pass reads the ranged cache, not slim, so the two never
-            # contend for cache blocks.
+            # main thread WHILE the docs write runs.  Both jobs read the
+            # pinned ranged cache concurrently — fine under read locks;
+            # what they do NOT share is the slim cache being built here,
+            # so the overlap hides the tokenize pass behind the docs IO.
             n_docs = slim.count()
         f_postings = pool.submit(
             _write_postings,

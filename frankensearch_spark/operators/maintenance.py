@@ -367,6 +367,50 @@ class IndexMaintenance:
         self._publish_supersede(mapping, fold_tombstones=False, remap_tombstones=True)
         return out_seg
 
+    # ── legacy migration ──────────────────────────────────────────────────
+
+    def backfill_embedded_terms(self) -> int:
+        """One-time rewrite embedding the term dictionary into a LEGACY
+        postings table (pre-embedded-dictionary layout, physical ``terms/``
+        directory).  After this, appends/merges are admitted again
+        (:meth:`IndexStorage.assert_appendable`) and the physical terms
+        directory is deleted — the dictionary is a logical projection of
+        the posting blocks from here on.  Returns the number of posting
+        block rows rewritten (0 when the index is already embedded).
+        """
+        if not self.storage.table_exists("postings"):
+            return 0
+        postings = self.spark.read.format(self.storage.format).load(
+            self.storage.path("postings")
+        )
+        if "term_df" in postings.columns:
+            return 0
+        terms = self.spark.read.format(self.storage.format).load(
+            self.storage.path("terms")
+        )
+        embedded = postings.join(
+            terms.select(
+                "segment_id",
+                "field",
+                "term",
+                F.col("df").cast("long").alias("term_df"),
+                F.col("cf").cast("long").alias("term_cf"),
+            ),
+            on=["segment_id", "field", "term"],
+            how="left",
+        )
+        # overwrite-in-place is illegal (read path == write path), so this
+        # goes through the write-temp + directory-swap publish primitive,
+        # keeping the (segment_id, bucket) partition layout
+        self.storage.atomic_rewrite(
+            "postings", embedded, partition_by=("segment_id", "bucket")
+        )
+        n = self.spark.read.format(self.storage.format).load(
+            self.storage.path("postings")
+        ).count()
+        shutil.rmtree(self.storage.path("terms"), ignore_errors=True)
+        return int(n)
+
     # ── GC ────────────────────────────────────────────────────────────────
 
     def gc(self) -> list[str]:

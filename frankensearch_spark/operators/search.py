@@ -309,7 +309,15 @@ class SearchEngine:
                 # derive the dictionary from the CACHED postings frame so
                 # both views share one file index (one listing at open)
                 derived = IndexStorage.derive_terms(self._base_table("postings"))
-                df = derived if derived is not None else self.storage.read("terms")
+                if derived is None:
+                    # legacy fallback: load the physical terms directory
+                    # DIRECTLY — storage.read("terms") would re-list and
+                    # re-derive from a fresh, unpinned postings load first
+                    df = self.spark.read.format(self.storage.format).load(
+                        self.storage.path("terms")
+                    )
+                else:
+                    df = derived
             else:
                 df = self.storage.read(table)
             self._table_cache[table] = df

@@ -145,6 +145,31 @@ class IndexStorage:
             return self.spark.read.format(self.format).load(self.path("terms"))
         return derived
 
+    def assert_appendable(self) -> None:
+        """Refuse to append embedded-dictionary postings onto a legacy
+        (pre-embedded-dictionary) postings table.
+
+        A mixed postings directory — some files with ``term_df``/``term_cf``,
+        some without — is silently wrong: a plain parquet read samples one
+        footer, so :meth:`derive_terms` would either see the embedded
+        columns and emit NULL df/cf for every legacy segment, or miss them
+        and fall back to a stale physical terms table lacking the new
+        segments' rows.  Either way BM25 stats corrupt without an error.
+        Callers must run ``IndexMaintenance.backfill_embedded_terms()``
+        (one-time rewrite) before appending to a legacy index.
+        """
+        if not self.table_exists("postings"):
+            return
+        postings = self.spark.read.format(self.format).load(self.path("postings"))
+        if "term_df" not in postings.columns:
+            raise RuntimeError(
+                "refusing to append to a legacy index whose postings lack "
+                "the embedded term dictionary (term_df/term_cf): a mixed "
+                "postings directory yields silently-wrong BM25 stats.  Run "
+                "IndexMaintenance.backfill_embedded_terms() once (rewrites "
+                "postings with the dictionary embedded), then retry."
+            )
+
     @staticmethod
     def derive_terms(postings: DataFrame):
         """Dictionary projection of a postings frame (None if the frame
@@ -177,6 +202,17 @@ class IndexStorage:
         present in ``df`` are replaced — the crash-idempotent rewrite
         primitive (Iceberg's overwritePartitions is the 1:1 analogue).
         """
+        # Committer v2 (session.py) exposes task output at TASK commit, so
+        # an append-mode write is atomic only per-task.  The manifest is
+        # the snapshot publish point: its append is atomic solely because
+        # it is exactly ONE task writing ONE file — a crashed multi-file
+        # manifest append could publish a partial segment set.  Pin the
+        # invariant here so it can't be silently relaxed.
+        if table == "manifest":
+            assert coalesce == 1, (
+                "manifest writes must stay single-file (coalesce=1): "
+                "committer-v2 atomicity depends on it"
+            )
         if coalesce is not None:
             df = df.coalesce(coalesce)
         writer = df.write.format(self.format).mode(mode)
@@ -279,14 +315,27 @@ class IndexStorage:
         )
         return int(row["max(docid_hi)"]), int(row["max(segment_id)"]) + 1
 
-    def atomic_rewrite(self, table: str, df: DataFrame) -> None:
-        """Replace a (small) table via write-to-temp + directory swap — the
-        two-slot MANIFEST publish analogue for driver-side metadata tables."""
+    def atomic_rewrite(
+        self, table: str, df: DataFrame, partition_by: tuple = ()
+    ) -> None:
+        """Replace a table via write-to-temp + directory swap — the
+        two-slot MANIFEST publish analogue.  Default shape is the small
+        driver-side metadata table (single file); ``partition_by`` swaps a
+        full partitioned table instead (used by one-time migrations that
+        must read and replace the same directory)."""
         import shutil
 
         tmp = self.path(table) + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if partition_by:
+            df.write.format(self.format).mode("overwrite").partitionBy(
+                *partition_by
+            ).save(tmp)
+        else:
+            # single-file on purpose: the swap below is atomic
+            # per-directory, and readers listing mid-write only ever see
+            # the old directory
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
         final = self.path(table)
         prev = final + ".prev"
         shutil.rmtree(prev, ignore_errors=True)
