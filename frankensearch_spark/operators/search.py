@@ -101,18 +101,24 @@ class SearchEngine:
         # segments' at-seal rows (tombstones do NOT adjust stats until
         # compaction — reference quiver.rs:11877)
         # dropDuplicates: a crash-rerun batch may append identical stats
-        # rows (bulk.py's idempotence contract); dedupe keeps sums exact
+        # rows (bulk.py's idempotence contract); dedupe keeps sums exact.
+        # The rollup is Spark-side: the driver receives O(fields) rows, not
+        # O(segments × fields) — at 10^7 segments the per-segment collect
+        # would be the one open-time driver dependence on corpus size.
+        # Every segment writes one stats row per text field (build.py
+        # _write_stats), so each field's doc_count sum is the total.
         stats = (
             self._read_live("field_stats")
             .dropDuplicates(["segment_id", "field"])
+            .groupBy("field")
+            .agg(
+                F.sum("doc_count").alias("docs"),
+                F.sum("total_tokens").alias("tokens"),
+            )
             .collect()
         )
-        seg_docs: dict[int, int] = {}
-        tokens: dict[str, int] = {}
-        for r in stats:
-            seg_docs[r["segment_id"]] = r["doc_count"]
-            tokens[r["field"]] = tokens.get(r["field"], 0) + r["total_tokens"]
-        self.doc_count = int(sum(seg_docs.values()))
+        tokens: dict[str, int] = {r["field"]: int(r["tokens"] or 0) for r in stats}
+        self.doc_count = int(max((r["docs"] for r in stats), default=0))
         self.avgdl = {
             f: (tokens.get(f, 0) / self.doc_count if self.doc_count else 0.0)
             for f in self.meta.text_fields
@@ -193,15 +199,13 @@ class SearchEngine:
             return SearchResult(hits=_empty_hits(), total_count=0 if exact_count else None)
         total = None
         if exact_count:
-            scored = scored.persist()
-            total = scored.count()
-        winners = (
-            scored.orderBy(F.desc("score"), F.asc("docid"))
-            .limit(limit + offset)
-            .toPandas()
-        )
-        if exact_count:
-            scored.unpersist()
+            winners, total = self._topk_with_count(scored, limit + offset)
+        else:
+            winners = (
+                scored.orderBy(F.desc("score"), F.asc("docid"))
+                .limit(limit + offset)
+                .toPandas()
+            )
         winners = winners.iloc[offset:].reset_index(drop=True)
         hits = self._materialize(winners, hydrate)
         return SearchResult(hits=hits, total_count=total)
@@ -296,6 +300,66 @@ class SearchEngine:
         return [r["docid"] for r in rows]
 
     # ── internals ─────────────────────────────────────────────────────────
+
+    def _topk_with_count(self, scored: DataFrame, k: int) -> tuple[pd.DataFrame, int]:
+        """Top-k (score desc, docid asc) AND exact match count in ONE job.
+
+        The reference counts while collecting (``argus.rs:5344-5350``);
+        the Spark analogue is a partition-local pass that keeps a running
+        top-k and a row count per partition (memory O(k + batch), never
+        the whole partition), then a driver-side merge of the
+        P × (k + 1)-row partials.  This replaces the persist + count +
+        orderBy two-action plan — one fewer job per counted query, and no
+        cache pressure from persisting the full scored frame.
+        """
+        out_schema = StructType(
+            [
+                StructField("docid", LongType(), True),
+                StructField("score", FloatType(), True),
+                StructField("cnt", LongType(), True),
+            ]
+        )
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            top: Optional[pd.DataFrame] = None
+            cnt = 0
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cnt += len(pdf)
+                merged = pdf if top is None else pd.concat((top, pdf))
+                top = (
+                    merged.sort_values(
+                        ["score", "docid"], ascending=[False, True], kind="mergesort"
+                    )
+                    .head(k)
+                    .reset_index(drop=True)
+                )
+            if top is not None:
+                top = top.assign(cnt=pd.Series([pd.NA] * len(top), dtype="Int64"))
+                top["docid"] = top["docid"].astype("Int64")
+                yield top
+            yield pd.DataFrame(
+                {
+                    "docid": pd.Series([pd.NA], dtype="Int64"),
+                    "score": pd.Series([None], dtype="float32"),
+                    "cnt": pd.Series([cnt], dtype="Int64"),
+                }
+            )
+
+        partials = scored.select(
+            F.col("docid").cast("long"), F.col("score").cast("float")
+        ).mapInPandas(partial, schema=out_schema).toPandas()
+        total = int(partials["cnt"].dropna().sum())
+        winners = (
+            partials[partials["cnt"].isna()]
+            .drop(columns=["cnt"])
+            .astype({"docid": "int64", "score": "float32"})
+            .sort_values(["score", "docid"], ascending=[False, True], kind="mergesort")
+            .head(k)
+            .reset_index(drop=True)
+        )
+        return winners, total
 
     def _parse(self, query: q.Query | str):
         if isinstance(query, str):

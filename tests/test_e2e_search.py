@@ -159,3 +159,27 @@ def test_hydrate_stored_fields(built, corpus_fixture):
         assert row["content"] == by_id[row["doc_id"]]["content"]
     with pytest.raises(ValueError, match="not stored"):
         index.search("rust", limit=2, hydrate_fields=["no_such_column"])
+
+
+def test_exact_count_adds_no_job(built, spark):
+    """Counted top-k fuses count into the collection pass (reference counts
+    while collecting, argus.rs:5344): exact_count=True must launch no more
+    Spark jobs than the same uncounted search — not the old
+    persist/count/orderBy plan that paid an extra action.  (Absolute job
+    counts are AQE-stage dependent, so the assertion is relative.)"""
+    index, _ = built
+    sc = spark.sparkContext
+    # warm the dictionary probe cache so the probe job doesn't count
+    index.search("rust ownership", limit=3)
+
+    def jobs_for(tag, **kw):
+        sc.setJobGroup(tag, tag)
+        try:
+            index.search("rust ownership", **kw)
+        finally:
+            sc.setJobGroup(tag + "_done", "")
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    plain = jobs_for("uncounted", limit=4)
+    counted = jobs_for("counted", limit=5, exact_count=True)
+    assert counted <= plain, f"exact_count added jobs: {counted} > {plain}"
