@@ -196,7 +196,7 @@ class LexicalIndex:
         limit: int = 10,
         offset: int = 0,
         exact_count: bool = False,
-        prune: bool = False,
+        prune: bool | str = "auto",
         hydrate_fields: Optional[Sequence[str]] = None,
     ) -> SearchResult:
         return self.engine.search(

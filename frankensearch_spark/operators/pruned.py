@@ -53,6 +53,54 @@ from ..plans.eval import EvalPlan
 #: change (bounds go up, the threshold goes down).
 BOUND_SLACK = 1e-5
 
+#: Strategy-selection constants, mirrored from the reference
+#: (``argus.rs:29-31``): MaxScore for 2..=8 direct term clauses, Block-Max
+#: WAND for >=9 clauses whose summed cost (doc freq) reaches 16,384.
+MAX_SCORE_MAX_CLAUSES = 8
+BMW_MIN_CLAUSES = MAX_SCORE_MAX_CLAUSES + 1
+BMW_MIN_TOTAL_COST = 16_384
+
+#: Cost floor for the auto-engaged MaxScore shape.  The reference applies
+#: MaxScore adaptively per 4,096-doc union window against a live cutoff
+#: (``argus.rs:4491-4497``) at nanosecond overhead; the Spark analogue is a
+#: per-QUERY decision whose pruned plan costs extra scheduled jobs (seed +
+#: sigma), so below this candidate volume the exhaustive single-exchange
+#: plan is strictly faster.  The default reuses the reference's published
+#: BMW cost constant; engines expose it as ``auto_prune_min_cost`` so
+#: deployments (and the dispatch tests) can tune it to their job overhead.
+AUTO_MAXSCORE_MIN_COST = BMW_MIN_TOTAL_COST
+
+
+def select_strategy(engine, plan: EvalPlan) -> Optional[str]:
+    """Auto dispatch: pick the pruning strategy the reference would.
+
+    Mirror of ``argus.rs:4464-4529``: 2..=8 direct term clauses ->
+    ``"maxscore"``; >=9 clauses with summed doc-freq cost >=
+    ``BMW_MIN_TOTAL_COST`` -> ``"bmw"``; anything else -> ``None``
+    (exhaustive).  Clause counts use LIVE leaves (df > 0) — a vanished
+    term contributes neither a cursor nor cost in the reference either.
+    Both strategies execute the same rank-safe two-pass plan here
+    (:class:`PrunedExecutor` fuses the MaxScore essential-list split with
+    the BMW block filter); the dispatch decides *whether* the pruned plan
+    runs, which is the reference's actual selection semantics.
+    """
+    if not pruned_applicable(plan):
+        return None
+    engine._resolve_doc_freqs(plan.leaves)
+    costs = [
+        engine._doc_freq_cache.get((l.field, l.term), 0) for l in plan.leaves
+    ]
+    live = [c for c in costs if c > 0]
+    n = len(live)
+    total_cost = sum(live)
+    if 2 <= n <= MAX_SCORE_MAX_CLAUSES:
+        if total_cost >= engine.auto_prune_min_cost:
+            return "maxscore"
+        return None
+    if n >= BMW_MIN_CLAUSES and total_cost >= BMW_MIN_TOTAL_COST:
+        return "bmw"
+    return None
+
 
 def pruned_applicable(plan: EvalPlan) -> bool:
     """True when the eval spec is a pure term-disjunction the pruner covers.

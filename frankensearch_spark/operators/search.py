@@ -137,6 +137,12 @@ class SearchEngine:
         #: here reopen() discards the engine and the cache with it)
         self._query_cache: "OrderedDict[tuple, SearchResult]" = OrderedDict()
         self.query_cache_capacity = 128
+        #: Cost floor for auto-engaging the MaxScore-shaped pruned plan
+        #: (see pruned.AUTO_MAXSCORE_MIN_COST for the rationale); tunable
+        #: per deployment to the cluster's job-scheduling overhead.
+        from .pruned import AUTO_MAXSCORE_MIN_COST
+
+        self.auto_prune_min_cost = AUTO_MAXSCORE_MIN_COST
 
     # ── public API ────────────────────────────────────────────────────────
 
@@ -146,10 +152,18 @@ class SearchEngine:
         limit: int = 10,
         offset: int = 0,
         exact_count: bool = False,
-        prune: bool = False,
+        prune: bool | str = "auto",
         hydrate_fields: Optional[Sequence[str]] = None,
     ) -> SearchResult:
         """Ranked top-k search.
+
+        ``prune`` selects the execution plan: ``"auto"`` (default) engages
+        the rank-safe pruned plan exactly when the reference's strategy
+        gates would pick MaxScore or Block-Max WAND for the query
+        (``argus.rs:4464-4529``; see :func:`pruned.select_strategy`);
+        ``True`` forces it whenever the shape applies (the differential
+        suite's lever); ``False`` forces the exhaustive plan.  All three
+        are rank-identical by the pruning contract.
 
         ``hydrate_fields`` optionally joins stored columns onto the k
         winners, pinned to the scoring snapshot (reference
@@ -180,7 +194,7 @@ class SearchEngine:
         limit: int,
         offset: int,
         exact_count: bool,
-        prune: bool,
+        prune: bool | str,
         hydrate: tuple = (),
     ) -> SearchResult:
         tree = self._parse(query)
@@ -188,10 +202,16 @@ class SearchEngine:
         if plan.is_empty:
             return SearchResult(hits=_empty_hits(), total_count=0 if exact_count else None)
         scored = None
+        # exact_count needs every match counted, so pruning never applies
         if prune and not exact_count:
-            from .pruned import PrunedExecutor, pruned_applicable
+            from .pruned import PrunedExecutor, pruned_applicable, select_strategy
 
-            if pruned_applicable(plan):
+            engage = (
+                select_strategy(self, plan) is not None
+                if prune == "auto"
+                else pruned_applicable(plan)
+            )
+            if engage:
                 scored = PrunedExecutor(self).execute(plan, limit + offset)
         if scored is None:
             scored = self._evaluate(plan)

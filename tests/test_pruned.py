@@ -13,7 +13,12 @@ import pytest
 
 from frankensearch_spark.index import LexicalIndex
 from frankensearch_spark.plans.eval import compile_query
-from frankensearch_spark.operators.pruned import pruned_applicable
+from frankensearch_spark.operators.pruned import (
+    AUTO_MAXSCORE_MIN_COST,
+    BMW_MIN_TOTAL_COST,
+    pruned_applicable,
+    select_strategy,
+)
 from frankensearch_spark.plans import query as q
 from frankensearch_spark.sources.transcripts import synthetic_transcripts
 
@@ -54,6 +59,97 @@ def test_pruned_equals_exhaustive(built, query):
         np.asarray(pruned["score"], dtype=np.float32),
         np.asarray(exhaustive["score"], dtype=np.float32),
     ), query
+
+
+class _StubEngine:
+    """Just enough engine surface for select_strategy's decision table."""
+
+    def __init__(self, dfs, floor=AUTO_MAXSCORE_MIN_COST):
+        self._doc_freq_cache = dfs
+        self.auto_prune_min_cost = floor
+
+    def _resolve_doc_freqs(self, leaves):
+        pass  # dfs preloaded
+
+
+def _plan(text):
+    parser = q.DefaultQueryParser(q.DEFAULT_SCHEMA)
+    return compile_query(q.canonicalize_query(parser.parse_lenient(text).query))
+
+
+def _dfs(terms, df):
+    # lenient parse expands each term over both text fields; keeping the
+    # title leaves dead (df 0) makes live-leaf count == term count, which
+    # also exercises the live-only clause counting
+    d = {("content", t): df for t in terms}
+    d.update({("title", t): 0 for t in terms})
+    return d
+
+
+def test_auto_dispatch_decision_table():
+    """Mirror of the reference gates (argus.rs:29-31, 4464-4529)."""
+    words = [f"w{i}" for i in range(12)]
+    # single live term -> exhaustive (the single-leaf fast path wins)
+    assert select_strategy(_StubEngine(_dfs(words[:1], 10_000)), _plan("w0")) is None
+    # 2 live clauses, cost above the floor -> MaxScore shape
+    eng = _StubEngine(_dfs(words[:2], 9_000))
+    assert select_strategy(eng, _plan("w0 w1")) == "maxscore"
+    # 2 live clauses, cost below the floor -> exhaustive (job-overhead gate)
+    eng = _StubEngine(_dfs(words[:2], 10))
+    assert select_strategy(eng, _plan("w0 w1")) is None
+    # ...unless the deployment lowers the floor
+    eng = _StubEngine(_dfs(words[:2], 10), floor=0)
+    assert select_strategy(eng, _plan("w0 w1")) == "maxscore"
+    # >=9 live clauses with total cost >= BMW_MIN_TOTAL_COST -> BMW
+    many = " ".join(words[:9])
+    eng = _StubEngine(_dfs(words[:9], BMW_MIN_TOTAL_COST // 9 + 1))
+    assert select_strategy(eng, _plan(many)) == "bmw"
+    # >=9 clauses but cost under the BMW gate -> exhaustive
+    eng = _StubEngine(_dfs(words[:9], 3))
+    assert select_strategy(eng, _plan(many)) is None
+    # vanished terms contribute neither a cursor nor cost: 9 parsed terms
+    # but only 2 live -> falls into the MaxScore band
+    dfs = _dfs(words[:2], 9_000)
+    dfs.update(_dfs(words[2:9], 0))
+    assert select_strategy(_StubEngine(dfs), _plan(many)) == "maxscore"
+    # non-disjunctive shapes never dispatch, whatever the cost
+    eng = _StubEngine(_dfs(words[:2], 9_000))
+    assert select_strategy(eng, _plan("w0 AND w1")) is None
+    assert select_strategy(eng, _plan('"w0 w1"')) is None
+    assert select_strategy(eng, _plan("w0 -w1")) is None
+
+
+def test_auto_dispatch_end_to_end(built, monkeypatch):
+    """Default search (prune='auto') matches the forced plans, and the
+    pruned executor really runs when the gates open."""
+    from frankensearch_spark.operators import pruned as pruned_mod
+
+    engine = built.engine
+    calls = []
+    orig = pruned_mod.PrunedExecutor.execute
+
+    def counted(self, plan, k):
+        calls.append(k)
+        return orig(self, plan, k)
+
+    monkeypatch.setattr(pruned_mod.PrunedExecutor, "execute", counted)
+    # default floor (16,384) exceeds this corpus's costs -> exhaustive
+    auto = built.search("w2 w48", limit=10).hits
+    assert not calls
+    # floor lowered -> same query class dispatches and stays rank-identical
+    # (cache cleared: the key (query, ..., "auto") would otherwise replay
+    # the exhaustive result and mask the dispatch)
+    monkeypatch.setattr(engine, "auto_prune_min_cost", 0)
+    engine._query_cache.clear()
+    auto2 = built.search("w2 w48", limit=10, prune="auto").hits
+    assert calls
+    exhaustive = built.search("w2 w48", limit=10, prune=False).hits
+    assert list(auto["docid"]) == list(exhaustive["docid"])
+    assert list(auto2["docid"]) == list(exhaustive["docid"])
+    assert np.array_equal(
+        np.asarray(auto2["score"], dtype=np.float32),
+        np.asarray(exhaustive["score"], dtype=np.float32),
+    )
 
 
 def test_pruned_k_larger_than_matches(built):
