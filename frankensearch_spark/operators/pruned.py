@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.eval import EvalPlan
+from ..plans.localrel import values_frame
 
 #: Multiplicative slack applied to f64 upper bounds / thresholds so that
 #: float32-vs-float64 rounding can never turn a safe prune into a rank
@@ -60,15 +61,20 @@ MAX_SCORE_MAX_CLAUSES = 8
 BMW_MIN_CLAUSES = MAX_SCORE_MAX_CLAUSES + 1
 BMW_MIN_TOTAL_COST = 16_384
 
-#: Cost floor for the auto-engaged MaxScore shape.  The reference applies
-#: MaxScore adaptively per 4,096-doc union window against a live cutoff
-#: (``argus.rs:4491-4497``) at nanosecond overhead; the Spark analogue is a
-#: per-QUERY decision whose pruned plan costs extra scheduled jobs (seed +
-#: sigma), so below this candidate volume the exhaustive single-exchange
-#: plan is strictly faster.  The default reuses the reference's published
-#: BMW cost constant; engines expose it as ``auto_prune_min_cost`` so
-#: deployments (and the dispatch tests) can tune it to their job overhead.
-AUTO_MAXSCORE_MIN_COST = BMW_MIN_TOTAL_COST
+#: Cost floor for auto-engaging EITHER pruned shape, on top of the
+#: reference's structural gates.  The reference applies pruning adaptively
+#: per 4,096-doc union window against a live cutoff (``argus.rs:4491-4497``)
+#: at nanosecond overhead, so its absolute cost gate (16,384) is tiny; the
+#: Spark analogue is a per-QUERY decision whose two-pass pruned plan costs
+#: ~20 scheduled jobs (seed, sigma, block filter) — measured ~2.4 s of pure
+#: scheduling at local[32] against a 1.6 s exhaustive plan at 10^5 candidate
+#: postings.  Pruning pays off when the AVOIDED work (summed doc-freq rows
+#: through the pivot exchange) exceeds the fixed job overhead; 10^7 posting
+#: rows is where shuffling+scoring the exhaustive candidate set clearly
+#: dominates ~20 job launches on a real cluster.  Engines expose it as
+#: ``auto_prune_min_cost`` so deployments (and the dispatch tests) can tune
+#: it to their own scheduler overhead.
+AUTO_PRUNE_MIN_COST = 10_000_000
 
 
 def select_strategy(engine, plan: EvalPlan) -> Optional[str]:
@@ -93,11 +99,12 @@ def select_strategy(engine, plan: EvalPlan) -> Optional[str]:
     live = [c for c in costs if c > 0]
     n = len(live)
     total_cost = sum(live)
+    floor = engine.auto_prune_min_cost
     if 2 <= n <= MAX_SCORE_MAX_CLAUSES:
-        if total_cost >= engine.auto_prune_min_cost:
+        if total_cost >= floor:
             return "maxscore"
         return None
-    if n >= BMW_MIN_CLAUSES and total_cost >= BMW_MIN_TOTAL_COST:
+    if n >= BMW_MIN_CLAUSES and total_cost >= max(BMW_MIN_TOTAL_COST, floor):
         return "bmw"
     return None
 
@@ -155,8 +162,8 @@ class PrunedExecutor:
             rows.append((leaf.leaf_id, leaf.field, leaf.term, weight))
         if not rows:
             return None
-        qterms = engine.spark.createDataFrame(
-            rows, "leaf_id int, field string, term string, weight double"
+        qterms = values_frame(
+            engine.spark, rows, "leaf_id int, field string, term string, weight double"
         )
         buckets = sorted(
             {engine_bucket(t, engine.meta.num_buckets) for _, _, t, _ in rows}

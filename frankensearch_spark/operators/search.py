@@ -29,6 +29,7 @@ survey), re-expressed as one declarative DataFrame plan:
 from __future__ import annotations
 
 from collections import OrderedDict
+from contextlib import contextmanager, nullcontext
 from dataclasses import dataclass
 from typing import Iterator, Optional, Sequence
 
@@ -44,10 +45,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.contract import compute_tf_cache, term_weight
+from ..functions.contract import BM25_K1, compute_tf_cache, term_weight
 from ..functions.snippet import SnippetGenerator
 from ..plans import glob
 from ..plans import query as q
+from ..plans.localrel import values_frame
 from ..plans.eval import EvalPlan, LeafSpec, compile_query, evaluate_tree, phrase_weight
 from ..sources.storage import TOMBSTONE_BROADCAST_MAX, IndexStorage
 
@@ -137,12 +139,12 @@ class SearchEngine:
         #: here reopen() discards the engine and the cache with it)
         self._query_cache: "OrderedDict[tuple, SearchResult]" = OrderedDict()
         self.query_cache_capacity = 128
-        #: Cost floor for auto-engaging the MaxScore-shaped pruned plan
-        #: (see pruned.AUTO_MAXSCORE_MIN_COST for the rationale); tunable
-        #: per deployment to the cluster's job-scheduling overhead.
-        from .pruned import AUTO_MAXSCORE_MIN_COST
+        #: Cost floor for auto-engaging the pruned plan (see
+        #: pruned.AUTO_PRUNE_MIN_COST for the rationale); tunable per
+        #: deployment to the cluster's job-scheduling overhead.
+        from .pruned import AUTO_PRUNE_MIN_COST
 
-        self.auto_prune_min_cost = AUTO_MAXSCORE_MIN_COST
+        self.auto_prune_min_cost = AUTO_PRUNE_MIN_COST
 
     # ── public API ────────────────────────────────────────────────────────
 
@@ -218,17 +220,47 @@ class SearchEngine:
         if scored is None:
             return SearchResult(hits=_empty_hits(), total_count=0 if exact_count else None)
         total = None
-        if exact_count:
-            winners, total = self._topk_with_count(scored, limit + offset)
-        else:
-            winners = (
-                scored.orderBy(F.desc("score"), F.asc("docid"))
-                .limit(limit + offset)
-                .toPandas()
-            )
+        # The single-leaf plan (hottest query class) contains no shuffle
+        # exchange: scan -> broadcast join -> score -> TakeOrdered.  AQE
+        # can't improve such a plan but bills it one extra scheduled job
+        # per query-stage materialization, so plan the action without it.
+        single_leaf = (
+            plan.spec is not None
+            and plan.spec.get("t") == "leaf"
+            and len(plan.leaves) == 1
+        )
+        ctx = self._adaptive_off() if single_leaf else nullcontext()
+        with ctx:
+            if exact_count:
+                winners, total = self._topk_with_count(scored, limit + offset)
+            else:
+                winners = (
+                    scored.orderBy(F.desc("score"), F.asc("docid"))
+                    .limit(limit + offset)
+                    .toPandas()
+                )
         winners = winners.iloc[offset:].reset_index(drop=True)
         hits = self._materialize(winners, hydrate)
         return SearchResult(hits=hits, total_count=total)
+
+    @contextmanager
+    def _adaptive_off(self):
+        """Plan the enclosed actions without AQE.
+
+        Session-scoped conf, so a concurrent action on another thread of
+        the SAME session planned inside this window also skips AQE — an
+        optimization loss only, never a correctness one; point queries are
+        the engine's latency path and exchange-free plans gain nothing
+        from adaptive re-planning.
+        """
+        conf = self.spark.conf
+        key = "spark.sql.adaptive.enabled"
+        prev = conf.get(key)
+        conf.set(key, "false")
+        try:
+            yield
+        finally:
+            conf.set(key, prev)
 
     def search_with_snippets(
         self,
@@ -573,8 +605,10 @@ class SearchEngine:
 
     def _exploded_postings(self, rows: list[tuple], postings: DataFrame) -> DataFrame:
         """Join query-term rows against postings and explode to per-doc rows."""
-        qterms = self.spark.createDataFrame(
-            rows, "leaf_id int, field string, term string, weight float, bucket int"
+        qterms = values_frame(
+            self.spark,
+            rows,
+            "leaf_id int, field string, term string, weight float, bucket int",
         )
         joined = postings.join(
             F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
@@ -624,42 +658,123 @@ class SearchEngine:
         return self._score_rows(exploded)
 
     def _term_leaf_frame(self, leaves: list[LeafSpec]) -> Optional[DataFrame]:
-        rows = self._term_weight_rows(leaves)
-        if not rows:
-            return None
-        buckets = sorted({r[4] for r in rows})
+        cached = all(
+            (l.field, l.term) in self._doc_freq_cache for l in leaves
+        )
+        if cached or "term_df" not in self._base_table("postings").columns:
+            # dfs already resolved (auto-prune dispatch, a prior query, or
+            # a legacy index without the embedded dictionary): weights are
+            # a driver-side float32 computation, dead leaves drop here
+            rows = self._term_weight_rows(leaves)
+            if not rows:
+                return None
+            buckets = sorted({r[4] for r in rows})
+            postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
+            return self._score_rows(self._exploded_postings(rows, postings))
+        return self._term_leaf_frame_inplan(leaves)
+
+    def _term_leaf_frame_inplan(self, leaves: list[LeafSpec]) -> DataFrame:
+        """Term leaves scored WITHOUT a driver-side dictionary probe.
+
+        The snapshot doc-freq is derived inside the query plan from the
+        embedded dictionary (``term_df`` on ``block_id = 0`` rows, summed
+        over live segments), and the BM25 term weight — the exact float32
+        chain of ``contract.py::term_weight``/``idf`` — is computed
+        JVM-side from it, so a cold term query is ONE Spark action: the
+        dictionary aggregate rides the same bucket-pruned postings scan as
+        a broadcast subtree instead of a separate collect job (the
+        reference resolves TermScorer weights inline during scorer
+        construction too, ``argus.rs:1521``).  ``idf``'s logarithm is
+        f64-``ln`` rounded once to f32 — exactly Spark's ``LN`` + cast —
+        and every other op is a single f32 operation evaluated in f64 and
+        cast back (innocuous double rounding), so scores stay hash-exact
+        with the driver-weight path and the DuckDB oracle.
+        """
+        f32 = lambda c: c.cast("float")  # noqa: E731
+        qrows = [
+            (
+                l.leaf_id,
+                l.field,
+                l.term,
+                float(l.boost),
+                _bucket(l.term, self.meta.num_buckets),
+            )
+            for l in leaves
+        ]
+        qterms = values_frame(
+            self.spark,
+            qrows,
+            "leaf_id int, field string, term string, boost float, bucket int",
+        )
+        buckets = sorted({r[4] for r in qrows})
         postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
-        return self._score_rows(self._exploded_postings(rows, postings))
+        matched = postings.join(
+            F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
+        )
+        n = F.col("df")
+        num = f32(f32(F.lit(self.doc_count) - n) + F.lit(0.5).cast("float"))
+        den = f32(f32(n) + F.lit(0.5).cast("float"))
+        ratio = f32(num / den)
+        idf_ = f32(F.log(f32(F.lit(1.0).cast("float") + ratio)))
+        one_plus_k1 = float(np.float32(1.0) + BM25_K1)
+        w = f32(idf_ * F.lit(one_plus_k1).cast("float"))
+        weight = f32(w * f32(F.col("boost"))).alias("weight")
+        # coalesce(1): the dictionary rows are <= leaves x segments; a
+        # single partition satisfies the aggregate's clustering requirement
+        # so no exchange (and no AQE dependency) enters the subtree
+        dict_rows = (
+            matched.where(F.col("block_id") == 0)
+            .select("leaf_id", "boost", "term_df")
+            .coalesce(1)
+            .groupBy("leaf_id", "boost")
+            .agg(F.sum("term_df").alias("df"))
+        )
+        weights = dict_rows.select("leaf_id", weight)
+        exploded = matched.select(
+            "leaf_id",
+            "field",
+            F.explode("entries").alias("e"),
+        ).select(
+            "leaf_id",
+            "field",
+            F.col("e.docid").alias("docid"),
+            F.col("e.freq").alias("freq"),
+            F.col("e.fnid").alias("fnid"),
+        )
+        rows = exploded.join(F.broadcast(weights), on="leaf_id")
+        return self._score_rows(rows)
 
     def _score_rows(self, rows: DataFrame) -> DataFrame:
-        """(leaf_id, field, weight, docid, freq, fnid) -> (docid, leaf_id, score)."""
-        caches = {f: c for f, c in self.tf_cache.items() if c is not None}
+        """(leaf_id, field, weight, docid, freq, fnid) -> (docid, leaf_id, score).
 
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf(FloatType())
-        def bm25_score(
-            field: pd.Series, freq: pd.Series, fnid: pd.Series, weight: pd.Series
-        ) -> pd.Series:
-            f = freq.to_numpy(dtype=np.float32)
-            ids = fnid.to_numpy(dtype=np.int64)
-            w = weight.to_numpy(dtype=np.float32)
-            out = np.zeros(len(f), dtype=np.float32)
-            fields = field.to_numpy()
-            for name, cache in caches.items():
-                mask = fields == name
-                if not mask.any():
-                    continue
-                norms = cache[ids[mask]]
-                ff = f[mask]
-                out[mask] = (w[mask] * (ff / (ff + norms))).astype(np.float32)
-            return pd.Series(out)
-
-        return rows.select(
-            "docid",
-            "leaf_id",
-            bm25_score("field", "freq", "fnid", "weight").alias("score"),
-        )
+        The per-posting BM25 component ``w * (f / (f + tf_cache[fnid]))``
+        runs entirely JVM-side (whole-stage codegen, no Python workers in
+        the hot path): the 256-entry per-field tf cache becomes a float
+        array literal indexed by fnid, and each float32 operation of the
+        pinned contract (contract.py::term_scores) is written as one Spark
+        arithmetic op CAST back to float.  Spark evaluates float arithmetic
+        in double, but one binary32 operation evaluated in binary64 and
+        rounded once to binary32 is exactly the binary32 result (double
+        rounding is innocuous when p2 >= 2*p1 + 2; 53 >= 50), so the chain
+        is bit-identical to the numpy float32 path it replaces — pinned by
+        ``test_contract.py::test_jvm_scoring_matches_numpy``.
+        """
+        f32 = lambda c: c.cast("float")  # noqa: E731
+        norm = None
+        for name, cache in self.tf_cache.items():
+            if cache is None:
+                continue
+            arr = F.lit([float(x) for x in cache]).cast("array<float>")
+            e = F.element_at(arr, F.col("fnid") + F.lit(1))
+            norm = e if norm is None else F.when(F.col("field") == name, e).otherwise(norm)
+        if norm is None:  # no scored text field has any tokens
+            return rows.select(
+                "docid", "leaf_id", F.lit(0.0).cast("float").alias("score")
+            )
+        ff = f32(F.col("freq"))
+        tf_factor = f32(ff / f32(ff + norm))
+        score = f32(f32(F.col("weight")) * tf_factor)
+        return rows.select("docid", "leaf_id", score.alias("score"))
 
     def _phrase_leaf_frame(self, leaf: LeafSpec) -> Optional[DataFrame]:
         if not self._is_text(leaf.field) or not self.meta.positions:
@@ -678,8 +793,8 @@ class SearchEngine:
             (i, leaf.field, t, int(off), _bucket(t, self.meta.num_buckets))
             for i, (t, off) in enumerate(zip(terms, offsets))
         ]
-        qterms = self.spark.createDataFrame(
-            qrows, "ord int, field string, term string, off int, bucket int"
+        qterms = values_frame(
+            self.spark, qrows, "ord int, field string, term string, off int, bucket int"
         )
         buckets = sorted({r[4] for r in qrows})
         postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
@@ -918,11 +1033,12 @@ class SearchEngine:
                     f"available: {sorted(set(docs.columns) - {'docid', 'segment_id'})}"
                 )
         cols = ["docid", "doc_id", *[c for c in hydrate if c != "doc_id"]]
-        stored = (
-            docs.where(F.col("docid").isin(docids))
-            .select(*cols)
-            .toPandas()
-        )
+        with self._adaptive_off():  # pruned scan, no exchange: AQE is overhead
+            stored = (
+                docs.where(F.col("docid").isin(docids))
+                .select(*cols)
+                .toPandas()
+            )
         merged = winners.merge(stored, on="docid", how="left")
         merged["rank"] = range(1, len(merged) + 1)
         return merged[["docid", "doc_id", "score", "rank", *[c for c in hydrate if c != "doc_id"]]]

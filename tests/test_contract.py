@@ -91,3 +91,65 @@ def test_term_weight_operation_order():
     manual = np.float32(manual * np.float32(2.0))
     assert w == manual
     assert w.dtype == np.float32
+
+
+def test_jvm_scoring_matches_numpy(spark):
+    """The JVM cast-chain in SearchEngine._score_rows and the in-plan term
+    weight must be bit-identical to the numpy float32 contract functions.
+
+    Each float32 op evaluated in float64 and cast once back to float32 is
+    exactly the float32 result (double rounding is innocuous: 53 >= 2*24+2),
+    and Spark's LN + cast matches the pinned f64-ln-rounded-once idf.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    n = 50_000
+    freq = rng.integers(1, 5_000, n).astype(np.int64)
+    fnid = rng.integers(0, 256, n).astype(np.int32)
+    cache = c.compute_tf_cache(47.3)
+    weight = c.term_weight(12_345, 1_000_000, boost=2.0)
+    ff = freq.astype(np.float32)
+    expected = (np.float32(weight) * (ff / (ff + cache[fnid]))).astype(np.float32)
+
+    df = spark.createDataFrame(pd.DataFrame({"freq": freq, "fnid": fnid}))
+    f32 = lambda col: col.cast("float")  # noqa: E731
+    arr = F.lit([float(x) for x in cache]).cast("array<float>")
+    norm = F.element_at(arr, F.col("fnid") + F.lit(1))
+    ffc = f32(F.col("freq"))
+    tf_factor = f32(ffc / f32(ffc + norm))
+    score = f32(f32(F.lit(float(weight))) * tf_factor)
+    got = (
+        df.select(score.alias("s"))
+        .toPandas()["s"]
+        .to_numpy(dtype=np.float32)
+    )
+    assert np.array_equal(got.view(np.int32), expected.view(np.int32))
+
+    # in-plan term weight: idf chain vs contract.term_weight
+    cases = [(1, 10), (5, 10), (9_999, 10_000), (1, 10**9), (123_456, 10**9)]
+    rows = [(i, int(dfreq), float(b)) for i, (dfreq, N) in enumerate(cases) for b in (1.0, 2.0)]
+    pdf = pd.DataFrame(rows, columns=["i", "df", "boost"])
+    sdf = spark.createDataFrame(pdf)
+    out = []
+    for dfreq, N in cases:
+        for b in (1.0, 2.0):
+            out.append(float(c.term_weight(dfreq, N, boost=b)))
+    # build the JVM chain per-case (N is a plan literal in the engine)
+    got_w = []
+    for (dfreq, N) in cases:
+        for b in (1.0, 2.0):
+            one = spark.sql("SELECT CAST(%d AS BIGINT) AS df, CAST(%f AS FLOAT) AS boost" % (dfreq, b))
+            nn = F.col("df")
+            num = f32(f32(F.lit(N) - nn) + F.lit(0.5).cast("float"))
+            den = f32(f32(nn) + F.lit(0.5).cast("float"))
+            ratio = f32(num / den)
+            idf_ = f32(F.log(f32(F.lit(1.0).cast("float") + ratio)))
+            k1p = float(np.float32(1.0) + c.BM25_K1)
+            w = f32(idf_ * F.lit(k1p).cast("float"))
+            wt = f32(w * f32(F.col("boost")))
+            got_w.append(float(one.select(wt.alias("w")).collect()[0]["w"]))
+    assert [np.float32(a).view(np.int32) for a in got_w] == [
+        np.float32(a).view(np.int32) for a in out
+    ]

@@ -14,7 +14,7 @@ import pytest
 from frankensearch_spark.index import LexicalIndex
 from frankensearch_spark.plans.eval import compile_query
 from frankensearch_spark.operators.pruned import (
-    AUTO_MAXSCORE_MIN_COST,
+    AUTO_PRUNE_MIN_COST,
     BMW_MIN_TOTAL_COST,
     pruned_applicable,
     select_strategy,
@@ -64,7 +64,7 @@ def test_pruned_equals_exhaustive(built, query):
 class _StubEngine:
     """Just enough engine surface for select_strategy's decision table."""
 
-    def __init__(self, dfs, floor=AUTO_MAXSCORE_MIN_COST):
+    def __init__(self, dfs, floor=AUTO_PRUNE_MIN_COST):
         self._doc_freq_cache = dfs
         self.auto_prune_min_cost = floor
 
@@ -91,27 +91,37 @@ def test_auto_dispatch_decision_table():
     words = [f"w{i}" for i in range(12)]
     # single live term -> exhaustive (the single-leaf fast path wins)
     assert select_strategy(_StubEngine(_dfs(words[:1], 10_000)), _plan("w0")) is None
-    # 2 live clauses, cost above the floor -> MaxScore shape
-    eng = _StubEngine(_dfs(words[:2], 9_000))
+    # 2 live clauses, cost above the deployment floor -> MaxScore shape
+    eng = _StubEngine(_dfs(words[:2], 9_000), floor=16_384)
     assert select_strategy(eng, _plan("w0 w1")) == "maxscore"
-    # 2 live clauses, cost below the floor -> exhaustive (job-overhead gate)
-    eng = _StubEngine(_dfs(words[:2], 10))
+    # same query under the DEFAULT floor -> exhaustive: the Spark pruned
+    # plan costs ~20 scheduled jobs, which 18k candidate postings never buy
+    # back (the reference's 16,384 gate assumes nanosecond overhead)
+    eng = _StubEngine(_dfs(words[:2], 9_000))
     assert select_strategy(eng, _plan("w0 w1")) is None
-    # ...unless the deployment lowers the floor
+    # cost past the default floor -> dispatches without tuning
+    eng = _StubEngine(_dfs(words[:2], AUTO_PRUNE_MIN_COST // 2))
+    assert select_strategy(eng, _plan("w0 w1")) == "maxscore"
+    # ...and a lowered floor opens the gate at any cost
     eng = _StubEngine(_dfs(words[:2], 10), floor=0)
     assert select_strategy(eng, _plan("w0 w1")) == "maxscore"
     # >=9 live clauses with total cost >= BMW_MIN_TOTAL_COST -> BMW
     many = " ".join(words[:9])
-    eng = _StubEngine(_dfs(words[:9], BMW_MIN_TOTAL_COST // 9 + 1))
+    eng = _StubEngine(_dfs(words[:9], BMW_MIN_TOTAL_COST // 9 + 1), floor=0)
     assert select_strategy(eng, _plan(many)) == "bmw"
-    # >=9 clauses but cost under the BMW gate -> exhaustive
-    eng = _StubEngine(_dfs(words[:9], 3))
+    # the reference's structural BMW cost gate holds even at floor 0
+    eng = _StubEngine(_dfs(words[:9], 3), floor=0)
     assert select_strategy(eng, _plan(many)) is None
+    # the job-overhead floor applies to the BMW shape too
+    eng = _StubEngine(_dfs(words[:9], BMW_MIN_TOTAL_COST // 9 + 1))
+    assert select_strategy(eng, _plan(many)) is None
+    eng = _StubEngine(_dfs(words[:9], AUTO_PRUNE_MIN_COST // 9 + 1))
+    assert select_strategy(eng, _plan(many)) == "bmw"
     # vanished terms contribute neither a cursor nor cost: 9 parsed terms
     # but only 2 live -> falls into the MaxScore band
     dfs = _dfs(words[:2], 9_000)
     dfs.update(_dfs(words[2:9], 0))
-    assert select_strategy(_StubEngine(dfs), _plan(many)) == "maxscore"
+    assert select_strategy(_StubEngine(dfs, floor=16_384), _plan(many)) == "maxscore"
     # non-disjunctive shapes never dispatch, whatever the cost
     eng = _StubEngine(_dfs(words[:2], 9_000))
     assert select_strategy(eng, _plan("w0 AND w1")) is None
@@ -133,7 +143,7 @@ def test_auto_dispatch_end_to_end(built, monkeypatch):
         return orig(self, plan, k)
 
     monkeypatch.setattr(pruned_mod.PrunedExecutor, "execute", counted)
-    # default floor (16,384) exceeds this corpus's costs -> exhaustive
+    # the default floor exceeds this corpus's costs -> exhaustive
     auto = built.search("w2 w48", limit=10).hits
     assert not calls
     # floor lowered -> same query class dispatches and stays rank-identical
