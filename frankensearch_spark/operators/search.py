@@ -50,7 +50,13 @@ from ..functions.snippet import SnippetGenerator
 from ..plans import glob
 from ..plans import query as q
 from ..plans.localrel import values_frame
-from ..plans.eval import EvalPlan, LeafSpec, compile_query, evaluate_tree, phrase_weight
+from ..plans.eval import (
+    EvalPlan,
+    LeafSpec,
+    compile_query,
+    compile_tree_columns,
+    phrase_weight,
+)
 from ..sources.storage import TOMBSTONE_BROADCAST_MAX, IndexStorage
 
 
@@ -488,7 +494,9 @@ class SearchEngine:
         return self._combine(plan, cand)
 
     def _combine(self, plan: EvalPlan, cand: DataFrame) -> DataFrame:
-        """Pivot (docid, leaf_id, score) rows and run the shared f32 eval tree."""
+        """Pivot (docid, leaf_id, score) rows and run the f32 eval tree
+        (compiled to JVM expressions; bit-identical to the oracle's numpy
+        evaluator by construction and by differential test)."""
         cand = self._filter_tombstones(cand)
         # Single-leaf fast path (the hottest query class: one term over one
         # text field): every leaf frame already emits at most one row per
@@ -504,46 +512,23 @@ class SearchEngine:
                 F.col("docid").cast("long").alias("docid"),
                 F.col("score").cast("float").alias("score"),
             )
+        # General path: one pivot shuffle to a row per docid with one score
+        # column per leaf, then the eval tree compiled to JVM expressions
+        # (plans/eval.py::compile_tree_columns — the bit-exact mirror of
+        # evaluate_tree, which remains the oracle's evaluator).  The whole
+        # combine stays inside whole-stage codegen; no Python workers.
         leaf_ids = [l.leaf_id for l in plan.leaves]
         pivoted = cand.groupBy("docid").pivot("leaf_id", leaf_ids).agg(F.first("score"))
-        spec = plan.spec
-        n_leaves = len(leaf_ids)
-        out_schema = StructType(
-            [
-                StructField("docid", LongType(), False),
-                StructField("score", FloatType(), False),
-            ]
+        zero = F.lit(0.0).cast("float")
+        matched, score = compile_tree_columns(
+            plan.spec,
+            lambda i: F.col(str(i)).isNotNull(),
+            lambda i: F.coalesce(F.col(str(i)).cast("float"), zero),
         )
-        col_names = [str(i) for i in leaf_ids]
-
-        def eval_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                n = len(pdf)
-                if n == 0:
-                    continue
-                matched_cols = {}
-                score_cols = {}
-                for lid, cname in zip(leaf_ids, col_names):
-                    col = pdf[cname]
-                    m = col.notna().to_numpy()
-                    s = col.fillna(0.0).to_numpy(dtype=np.float32)
-                    matched_cols[lid] = m
-                    score_cols[lid] = s
-                matched, score = evaluate_tree(
-                    spec,
-                    lambda i: matched_cols[i],
-                    lambda i: score_cols[i],
-                    n,
-                )
-                out = pd.DataFrame(
-                    {
-                        "docid": pdf["docid"].to_numpy()[matched],
-                        "score": score[matched],
-                    }
-                )
-                yield out
-
-        return pivoted.mapInPandas(eval_batches, schema=out_schema)
+        return pivoted.where(matched).select(
+            F.col("docid").cast("long").alias("docid"),
+            score.cast("float").alias("score"),
+        )
 
     def _is_text(self, field: str) -> bool:
         return field in self.meta.text_fields

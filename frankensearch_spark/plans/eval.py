@@ -227,3 +227,66 @@ def evaluate_tree(
         m, s = evaluate_tree(spec["ch"], leaf_matched, leaf_score, n)
         return m, (s * np.float32(spec["f"])).astype(np.float32)
     raise ValueError(f"unknown spec node {t!r}")
+
+
+def compile_tree_columns(spec: dict, leaf_matched, leaf_score):
+    """JVM mirror of :func:`evaluate_tree`: (matched, score) Column exprs.
+
+    ``leaf_matched(leaf_id)`` / ``leaf_score(leaf_id)`` return a boolean /
+    float Column per leaf; the result evaluates the same spec inside
+    whole-stage codegen, removing the Python eval stage from the combine
+    step.  Every float32 accumulation step of the numpy evaluator becomes
+    one Spark arithmetic op cast back to float — a single binary32 op
+    evaluated in binary64 and rounded once is exactly the binary32 result
+    (53 >= 2*24 + 2), so the two evaluators are bit-identical; pinned by
+    ``tests/test_properties.py`` differentials over random trees.
+
+    ``leaf_matched`` must never return SQL NULL (wrap pivot columns in
+    ``isNotNull``); score columns must be NULL-free too (``coalesce``).
+    """
+    from pyspark.sql import functions as F
+
+    f32 = lambda c: c.cast("float")  # noqa: E731
+    zero = F.lit(0.0).cast("float")
+
+    def add_if(score, m, s):
+        return f32(score + F.when(m, s).otherwise(zero))
+
+    def rec(node: dict):
+        t = node["t"]
+        if t == "leaf":
+            return leaf_matched(node["id"]), leaf_score(node["id"])
+        if t == "union":
+            matched, score = F.lit(False), zero
+            for ch in node["ch"]:
+                m, s = rec(ch)
+                matched = matched | m
+                score = add_if(score, m, s)
+            return matched, score
+        if t == "bool":
+            score = zero
+            if node["must"]:
+                matched = F.lit(True)
+                for ch in node["must"]:
+                    m, s = rec(ch)
+                    matched = matched & m
+                    score = add_if(score, m, s)
+                for ch in node["should"]:
+                    m, s = rec(ch)
+                    score = add_if(score, m, s)
+            else:
+                matched = F.lit(False)
+                for ch in node["should"]:
+                    m, s = rec(ch)
+                    matched = matched | m
+                    score = add_if(score, m, s)
+            for ch in node["not"]:
+                m, _ = rec(ch)
+                matched = matched & ~m
+            return matched, score
+        if t == "boost":
+            m, s = rec(node["ch"])
+            return m, f32(s * F.lit(float(np.float32(node["f"]))).cast("float"))
+        raise ValueError(f"unknown spec node {t!r}")
+
+    return rec(spec)
