@@ -173,19 +173,33 @@ def bulk_load(
 
 
 def _string_boundaries(df: DataFrame, col: str, n_batches: int) -> list[str]:
-    """Exact string-typed chunk boundaries via ntile over distinct keys.
+    """String-typed chunk boundaries via distributed sample-sort.
 
-    The distinct-key frame is small relative to the corpus (one row per
-    conversation); ntile ranks it once and the boundary rows collect to
-    the driver.  At extreme scale swap in a sampled sort — the plan file
-    pins whatever was chosen.
+    ``repartitionByRange`` runs Spark's RangePartitioner — a distributed
+    reservoir sample of the distinct keys followed by driver-side boundary
+    selection — so no single task ever ranks the full key set (the ntile
+    window it replaces funneled every distinct conversation id through one
+    task).  Boundaries are the minima of range partitions 1.., collected
+    once and PINNED in the plan file: resume never re-derives them, so the
+    sampling's run-to-run nondeterminism is irrelevant.  Balance follows
+    the sample (near-even), not exact ntile counts — chunk sizes only
+    gate batch memory, and the plan records exact per-batch counts anyway.
+
+    Always returns exactly ``n_batches - 1`` boundaries (the seal loop
+    indexes them positionally): when range sampling yields fewer distinct
+    cut points, the last boundary is repeated, which makes the surplus
+    middle batches empty — consistent with the plan's batch_expr counts.
     """
-    from pyspark.sql import Window
-
     keys = df.select(col).distinct()
-    w = Window.orderBy(col)
-    tiled = keys.withColumn("tile", F.ntile(n_batches).over(w))
     rows = (
-        tiled.groupBy("tile").agg(F.min(col).alias("lo")).orderBy("tile").collect()
+        keys.repartitionByRange(n_batches, F.col(col))
+        .select(F.spark_partition_id().alias("pid"), F.col(col))
+        .groupBy("pid")
+        .agg(F.min(col).alias("lo"))
+        .orderBy("pid")
+        .collect()
     )
-    return [r["lo"] for r in rows[1:]]
+    bounds = [r["lo"] for r in rows[1:]]
+    while len(bounds) < n_batches - 1 and bounds:
+        bounds.append(bounds[-1])
+    return bounds

@@ -50,11 +50,18 @@ def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact-duplicate marking: keep-first by id within identical text.
 
-    Returns (doc_id, is_duplicate).  One shuffle on the text hash; at scale
-    replace the raw text partition key with ``xxhash64(text)`` bucketing —
-    semantics identical because the window still compares full text.
+    Returns (doc_id, is_duplicate).  One shuffle; the window partitions on
+    ``(xxhash64(text), text)``: routing is identical to partitioning on the
+    text alone, but the within-partition sort comparator now short-circuits
+    on the leading 8-byte hash instead of full-string compares — on a
+    near-duplicate-heavy corpus (long shared prefixes) that is the
+    difference between O(8) and O(doc length) per comparison.  The full
+    text stays in the key, so an xxhash64 collision cannot merge two
+    different documents — semantics are exactly groupBy(text).
     """
-    w = Window.partitionBy(text_col).orderBy(id_col)
+    w = Window.partitionBy(F.xxhash64(F.col(text_col)), F.col(text_col)).orderBy(
+        id_col
+    )
     return df.select(
         F.col(id_col).alias("doc_id"),
         (F.row_number().over(w) > 1).alias("is_duplicate"),

@@ -172,3 +172,20 @@ def test_multimodal_features_and_frames(spark, corpus):
 def test_real_decode_stub_gated():
     with pytest.raises((NotImplementedError, ValueError)):
         multimodal._decode_real(b"FAKE....")
+
+
+def test_dedup_exact_skew_and_collision_safety(spark):
+    """10k identical docs (one shuffle key) + hash-bucket partitioning:
+    keep-first survives extreme key skew, and distinct texts are never
+    merged even when co-partitioned by hash."""
+    from frankensearch_spark.operators import textops
+
+    rows = [(f"d{i:05d}", "the same document text " * 4) for i in range(10_000)]
+    rows += [(f"u{i:05d}", f"unique text number {i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id string, text string").repartition(16)
+    out = textops.dedup_exact(df).toPandas().set_index("doc_id")["is_duplicate"]
+    dupes = out[out.index.str.startswith("d")]
+    assert not dupes["d00000"]
+    assert dupes.drop("d00000").all()
+    uniq = out[out.index.str.startswith("u")]
+    assert not uniq.any()
