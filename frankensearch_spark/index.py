@@ -22,9 +22,14 @@ from .sources.storage import IndexStorage
 class LexicalIndex:
     """One index directory: build it from a DataFrame, then query it."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self, spark: SparkSession, index_dir: str, include_unsealed: bool = False
+    ):
         self.spark = spark
         self.index_dir = index_dir
+        #: opt into pre-commit delta segments (upsert(..., seal=False)
+        #: batches) at the cost of the committed-snapshot guarantee
+        self.include_unsealed = include_unsealed
         self._engine: Optional[SearchEngine] = None
 
     # ── build ─────────────────────────────────────────────────────────────
@@ -183,7 +188,11 @@ class LexicalIndex:
     @property
     def engine(self) -> SearchEngine:
         if self._engine is None:
-            self._engine = SearchEngine(self.spark, self.index_dir)
+            self._engine = SearchEngine(
+                self.spark,
+                self.index_dir,
+                include_unsealed=self.include_unsealed,
+            )
         return self._engine
 
     @property

@@ -170,6 +170,7 @@ def append_segment_batch(
     segment_base: int,
     mode: str = "append",
     pre_publish=None,
+    manifest_status: str = "sealed",
 ) -> list[int]:
     """Tokenize + index one batch of documents as ``num_segments`` new
     segments starting at ``segment_base`` with docids from ``docid_base``.
@@ -217,6 +218,7 @@ def append_segment_batch(
             mode=mode,
             pre_publish=pre_publish,
             new_segments=list(range(segment_base, segment_base + num_segments)),
+            manifest_status=manifest_status,
         )
     finally:
         slim.unpersist()
@@ -234,6 +236,7 @@ def write_segment_tables(
     pre_publish=None,
     new_segments: Optional[list[int]] = None,
     n_docs: Optional[int] = None,
+    manifest_status: str = "sealed",
 ) -> None:
     """Write docs/doclens/postings/field_stats/manifest (the term
     dictionary is embedded in the posting blocks).
@@ -304,7 +307,7 @@ def write_segment_tables(
         seg = f_stats.result()
     if pre_publish is not None:
         pre_publish()
-    _write_manifest(seg, storage, meta, sm_mode)
+    _write_manifest(seg, storage, meta, sm_mode, status=manifest_status)
 
 
 # ── step 1+2: docid assignment + tokenization ──────────────────────────────
@@ -861,7 +864,11 @@ def _write_stats(
 
 
 def _write_manifest(
-    seg: DataFrame, storage: IndexStorage, meta: IndexMeta, mode: str
+    seg: DataFrame,
+    storage: IndexStorage,
+    meta: IndexMeta,
+    mode: str,
+    status: str = "sealed",
 ) -> None:
     manifest = seg.select(
         F.lit(meta.generation).alias("generation"),
@@ -869,7 +876,7 @@ def _write_manifest(
         "docid_lo",
         (F.col("docid_hi") + F.lit(1)).alias("docid_hi"),  # half-open [lo, hi)
         "doc_count",
-        F.lit("sealed").alias("status"),
+        F.lit(status).alias("status"),
         F.lit(time.time()).alias("built_at"),
     )
     storage.write_table(manifest, "manifest", mode, coalesce=1)

@@ -139,6 +139,7 @@ class IndexMaintenance:
         df: DataFrame,
         sort_cols: Sequence[str] = ("doc_id",),
         num_segments: int = 1,
+        seal: bool = True,
     ) -> list[int]:
         """Replace-or-add a batch: tombstone old docids, index under new.
 
@@ -157,6 +158,16 @@ class IndexMaintenance:
           (same crash-only contract as bulk load).
 
         Everything is joins; no doc_id list ever lands on the driver.
+
+        ``seal=False`` publishes the batch's manifest rows with
+        ``status='unsealed'`` and does NOT advance the committed
+        generation: default readers keep seeing the previous generation
+        intact, while readers opened with ``include_unsealed=True`` see
+        the batch immediately (pre-commit delta visibility, reference
+        ``quill/src/delta.rs:1-37``).  :meth:`seal` later flips the rows
+        and commits the generation for everyone.  Crash before seal:
+        replay the upsert or call :meth:`seal` — both converge (the data
+        tables are already durable; duplicate-then-delete idempotence).
         """
         from .build import content_hash_expr
 
@@ -205,11 +216,50 @@ class IndexMaintenance:
                 docid_base=docid_base,
                 segment_base=segment_base,
                 pre_publish=stage_tombstones,
+                manifest_status="sealed" if seal else "unsealed",
             )
-            self.storage.write_meta(self.meta)
+            if seal:
+                self.storage.write_meta(self.meta)
+            else:
+                # the committed generation stays put: the staged
+                # gen_next tombstones and the unsealed rows become
+                # meaningful together at seal()
+                self.meta.generation = gen_next - 1
             return segments
         finally:
             changed.unpersist()
+
+    def seal(self) -> list[int]:
+        """Commit previously unsealed segments for all readers.
+
+        Atomically rewrites the manifest flipping ``unsealed`` rows to
+        ``sealed`` and advances the committed generation, activating the
+        tombstones those upserts staged — delete-of-old and add-of-new
+        appear together, same as a sealed upsert.  Returns the segment
+        ids that were sealed (empty when nothing was pending).
+        """
+        if not self.storage.table_exists("manifest"):
+            return []
+        man = self.storage.read("manifest")
+        pending = [
+            r["segment_id"]
+            for r in man.where("status = 'unsealed'")
+            .select("segment_id")
+            .distinct()
+            .collect()
+        ]
+        if not pending:
+            return []
+        flipped = man.withColumn(
+            "status",
+            F.when(F.col("status") == "unsealed", F.lit("sealed")).otherwise(
+                F.col("status")
+            ),
+        )
+        self.storage.atomic_rewrite("manifest", flipped)
+        self.meta.generation = self.storage.current_generation()
+        self.storage.write_meta(self.meta)
+        return sorted(pending)
 
     # ── compaction ────────────────────────────────────────────────────────
 

@@ -71,7 +71,13 @@ class SearchResult:
 class SearchEngine:
     """Query executor bound to one index directory (snapshot-pinned stats)."""
 
-    def __init__(self, spark: SparkSession, index_dir: str, schema: Optional[q.Schema] = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        schema: Optional[q.Schema] = None,
+        include_unsealed: bool = False,
+    ):
         self.spark = spark
         self.storage = IndexStorage(spark, index_dir)
         self.meta = self.storage.read_meta()
@@ -82,14 +88,22 @@ class SearchEngine:
         # per-segment table read filters to it (partition pruning), so one
         # engine instance always queries one generation (the Arc-swap /
         # VERSION AS OF analogue, reference index.rs:7374).
-        self.live_segments = self.storage.live_segments()
+        # ``include_unsealed`` opts into pre-commit delta segments AND the
+        # generation they were staged for, so an unsealed upsert's deletes
+        # and adds appear together (reference delta.rs pre-commit reads);
+        # it trades the committed-snapshot guarantee for freshness.
+        self.live_segments = self.storage.live_segments(
+            include_unsealed=include_unsealed
+        )
         # Tombstones are pinned alongside the segment set: the engine
         # captures (a) the manifest generation and (b) the tombstone files
         # present at open, so deletes issued after open are invisible until
         # reopen() — no mixed-generation reads (reference Arc-swap
         # isolation), and tombstones staged by an in-flight upsert for the
         # NEXT generation are gated out until its manifest append.
-        self.generation = self.storage.current_generation()
+        self.generation = self.storage.current_generation(
+            include_unsealed=include_unsealed
+        )
         self._tombstones, self._tombstone_count = self.storage.pinned_tombstones(
             self.generation
         )

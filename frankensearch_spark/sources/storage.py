@@ -235,7 +235,7 @@ class IndexStorage:
 
     # ── snapshot surface ──────────────────────────────────────────────────
 
-    def live_segments(self) -> list[int]:
+    def live_segments(self, include_unsealed: bool = False) -> list[int]:
         """Segment ids visible in the current manifest generation.
 
         The manifest is the snapshot source of truth: appends publish new
@@ -243,19 +243,25 @@ class IndexStorage:
         atomically rewriting the manifest without them.  Readers must
         filter every per-segment table by this set (partition pruning makes
         the filter free), which is what pins one generation per query.
+
+        ``include_unsealed`` additionally exposes segments published with
+        ``status='unsealed'`` (pre-commit delta visibility, reference
+        ``quill/src/delta.rs:1-37`` — deltas searchable before the sealing
+        commit).  Default readers never see them.
         """
         if not self.table_exists("manifest"):
             return []
+        statuses = ("sealed", "unsealed") if include_unsealed else ("sealed",)
         rows = (
             self.read("manifest")
-            .where("status = 'sealed'")
+            .where(F.col("status").isin(*statuses))
             .select("segment_id")
             .distinct()
             .collect()
         )
         return sorted(r["segment_id"] for r in rows)
 
-    def current_generation(self) -> int:
+    def current_generation(self, include_unsealed: bool = False) -> int:
         """Highest published manifest generation (0 when no manifest).
 
         The generation is the visibility gate for tombstones: mutation
@@ -264,10 +270,19 @@ class IndexStorage:
         generation g ignores tombstones staged for g+1 (upsert stays
         atomic for readers — delete and add become visible together at
         the manifest append, the reference's publish point).
+
+        Only SEALED rows define the published generation by default; an
+        unsealed upsert's rows carry the next generation, which must stay
+        invisible to default readers or its staged tombstones would
+        activate without their replacement segments.  ``include_unsealed``
+        readers opt into exactly that next generation.
         """
         if not self.table_exists("manifest"):
             return 0
-        row = self.read("manifest").agg(F.max("generation").alias("g")).collect()[0]
+        man = self.read("manifest")
+        if not include_unsealed:
+            man = man.where("status = 'sealed'")
+        row = man.agg(F.max("generation").alias("g")).collect()[0]
         return int(row["g"] or 0)
 
     def pinned_tombstones(self, generation: int):

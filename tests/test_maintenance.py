@@ -333,3 +333,44 @@ def test_stream_ingest_equals_batch(spark, batches, bulk, tmp_path_factory):
     idx.reopen()
     for qs in QUERIES:
         assert _hits(idx, qs) == _hits(bulk, qs), qs
+
+
+def test_unsealed_delta_visibility(spark, tmp_path_factory):
+    """Pre-commit delta visibility (reference delta.rs): an unsealed
+    upsert is invisible to default readers, visible (with its staged
+    deletes applied) to include_unsealed readers, and visible to everyone
+    after seal()."""
+    d = str(tmp_path_factory.mktemp("delta_ix"))
+    base = spark.createDataFrame(
+        [("a", "alpha original text"), ("b", "bravo steady text")],
+        "doc_id string, content string",
+    )
+    ix = LexicalIndex(spark, d).build(
+        base, text_fields=("content",), sort_cols=("doc_id",),
+        num_segments=1, num_buckets=4,
+    )
+    delta = spark.createDataFrame(
+        [("a", "alpha replaced text"), ("c", "charlie fresh text")],
+        "doc_id string, content string",
+    )
+    segs = ix.maintenance.upsert(delta, sort_cols=("doc_id",), seal=False)
+    assert segs
+
+    committed = LexicalIndex(spark, d)  # default reader
+    assert [h for h in committed.search("charlie").hits["doc_id"]] == []
+    assert list(committed.search("original").hits["doc_id"]) == ["a"]
+
+    dirty = LexicalIndex(spark, d, include_unsealed=True)
+    assert list(dirty.search("charlie").hits["doc_id"]) == ["c"]
+    assert list(dirty.search("original").hits["doc_id"]) == []  # staged delete applies
+    assert list(dirty.search("replaced").hits["doc_id"]) == ["a"]
+    assert list(dirty.search("steady").hits["doc_id"]) == ["b"]
+
+    sealed = LexicalIndex(spark, d).maintenance.seal()
+    assert sealed == segs
+    after = LexicalIndex(spark, d)
+    assert list(after.search("charlie").hits["doc_id"]) == ["c"]
+    assert list(after.search("original").hits["doc_id"]) == []
+    assert list(after.search("replaced").hits["doc_id"]) == ["a"]
+    # idempotent: nothing left to seal
+    assert LexicalIndex(spark, d).maintenance.seal() == []
