@@ -60,6 +60,12 @@ from ..plans.eval import (
 from ..sources.storage import TOMBSTONE_BROADCAST_MAX, IndexStorage
 
 
+#: Glob expansions up to this many terms match postings via a literal
+#: InSet (scan-pushed); wider ones switch to a broadcast semi-join so the
+#: plan stays O(1) in expansion size.
+GLOB_ISIN_MAX = 256
+
+
 @dataclass
 class SearchResult:
     """Top-k hits as a small pandas frame (docid, doc_id, score, rank)."""
@@ -961,11 +967,23 @@ class SearchEngine:
             return None
         buckets = sorted({_bucket(t, self.meta.num_buckets) for t in terms})
         postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
-        matched = (
-            postings.where(
+        if len(terms) <= GLOB_ISIN_MAX:
+            # small expansions stay literal: the InSet pushes to the scan
+            hit = postings.where(
                 (F.col("field") == leaf.field) & F.col("term").isin(terms)
             )
-            .select(F.explode(F.col("entries.docid")).alias("docid"))
+        else:
+            # wide expansions (cap 16,384) would bloat the plan as
+            # literals and defeat row-group pruning anyway; a broadcast
+            # semi-join keeps the plan O(1) and the probe hash-based
+            tf = self.spark.createDataFrame(
+                [(leaf.field, t) for t in terms], "field string, term string"
+            )
+            hit = postings.join(
+                F.broadcast(tf), on=["field", "term"], how="leftsemi"
+            )
+        matched = (
+            hit.select(F.explode(F.col("entries.docid")).alias("docid"))
             .distinct()
         )
         return matched.select(

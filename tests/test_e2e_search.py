@@ -183,3 +183,21 @@ def test_exact_count_adds_no_job(built, spark):
     plain = jobs_for("uncounted", limit=4)
     counted = jobs_for("counted", limit=5, exact_count=True)
     assert counted <= plain, f"exact_count added jobs: {counted} > {plain}"
+
+
+def test_glob_semijoin_path_equals_isin(built, monkeypatch):
+    """Wide glob expansions switch from literal InSet to a broadcast
+    semi-join; the two plans must return identical hits."""
+    from frankensearch_spark.operators import search as search_mod
+
+    index, oracle = built
+    baseline = {}
+    for query in ["rust*", "*ing", "own* -cooking"]:
+        h = index.search(query, limit=50).hits
+        baseline[query] = list(zip(h["docid"], h["score"]))
+    monkeypatch.setattr(search_mod, "GLOB_ISIN_MAX", 0)  # force semi-join
+    index.engine._query_cache.clear()
+    for query, exp in baseline.items():
+        h = index.search(query, limit=50).hits
+        assert list(zip(h["docid"], h["score"])) == exp, query
+        _compare(index, oracle, query)
