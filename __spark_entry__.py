@@ -95,6 +95,12 @@ def _q_bm25_phrase(spark, sf_dir):
     return _hits_df(spark, sf_dir, '"value table"')
 
 
+def _q_bm25_glob_mix(spark, sf_dir):
+    """Glob + term union: glob leaves are ConstScorers (1.0f), f32-summed
+    with the term's BM25 score in parse order (glob clause first)."""
+    return _hits_df(spark, sf_dir, "mer* spark")
+
+
 def _q_bm25_count(spark, sf_dir):
     res = _index(spark, sf_dir).search("spark merge", limit=1, exact_count=True)
     return spark.createDataFrame([(int(res.total_count),)], "n_matches bigint")
@@ -250,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_boolean_and": _q_bm25_and,
         "bm25_top10_boolean_not": _q_bm25_not,
         "bm25_top10_phrase": _q_bm25_phrase,
+        "bm25_top10_glob_mix": _q_bm25_glob_mix,
         "bm25_match_count": _q_bm25_count,
         "bm25_top10_offset": _q_bm25_offset,
         "bm25_top10_hydrated": _q_bm25_hydrated,
@@ -285,6 +292,7 @@ def oracle_sql() -> dict[str, str]:
             should=["spark"], must_not=["merge"]
         ),
         "bm25_top10_phrase": dsql.bm25_phrase_sql(["value", "table"]),
+        "bm25_top10_glob_mix": dsql.bm25_glob_mix_sql("mer", "spark"),
         "bm25_match_count": dsql.bm25_count_sql(["spark", "merge"]),
         "bm25_top10_offset": dsql.bm25_topk_sql(
             should=["spark", "merge", "sort", "window"], k=10, offset=10

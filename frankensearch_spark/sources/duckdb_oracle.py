@@ -182,6 +182,33 @@ WHERE term IN (SELECT t FROM (VALUES {vals}) q(t))
 """
 
 
+def bm25_glob_mix_sql(prefix: str, term: str, k: int = 10) -> str:
+    """Should-of [glob(prefix*), term]: the glob leaf scores a constant
+    1.0f per match (ConstScorer semantics, reference index.rs glob leaves),
+    f32-summed with the term's BM25 score in parse order (glob clause
+    first).  Mirrors the engine's dictionary expansion exactly on corpora
+    whose matching-term count is under the 16,384 expansion cap."""
+    zero = _r("0.0")
+    one = _r("1.0")
+    g = f"CASE WHEN g.doc_id IS NOT NULL THEN {one} ELSE {zero} END"
+    score = _f32(_f32(zero + " + " + g) + " + " + f"COALESCE(s0.score, {zero})")
+    return f"""{_base_ctes(_term_filter([term]))}
+, glob_hits AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(tokens) AS t FROM docs)
+  WHERE t LIKE '{prefix}%'
+)
+SELECT d.doc_id, {score} AS score,
+       CAST(row_number() OVER (ORDER BY {score} DESC, d.doc_id ASC) AS INT) AS rank
+FROM (SELECT doc_id FROM docs) d
+LEFT JOIN glob_hits g ON g.doc_id = d.doc_id
+LEFT JOIN term_scores s0 ON s0.doc_id = d.doc_id AND s0.term = '{term}'
+WHERE g.doc_id IS NOT NULL OR s0.score IS NOT NULL
+ORDER BY score DESC, d.doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_phrase_sql(terms: list[str], k: int = 10) -> str:
     """Top-k for an adjacent-position phrase (slop 0).
 
