@@ -42,7 +42,12 @@ def _index(spark: SparkSession, sf_dir: str) -> LexicalIndex:
     key = os.path.abspath(sf_dir)
     if key in _INDEXES:
         return _INDEXES[key]
-    index_dir = os.path.join(_CACHE_ROOT, os.path.basename(key.rstrip("/")) + "_index")
+    # layout tag: bump when the physical postings layout changes so a
+    # cached index is rebuilt in the current layout instead of being read
+    # through the legacy-schema branch (gap1 = gap-encoded entry docids)
+    index_dir = os.path.join(
+        _CACHE_ROOT, os.path.basename(key.rstrip("/")) + "_index_gap1"
+    )
     idx = LexicalIndex(spark, index_dir)
     if not idx.engine_exists():
         df = _documents(spark, sf_dir).withColumnRenamed("text", "content")

@@ -56,6 +56,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.analyze import tokenize_batch
+from ..functions.codec import encode_entries_expr
 from ..functions.contract import POSTINGS_PER_BLOCK, fieldnorm_to_id
 from ..sources.storage import IndexMeta, IndexStorage
 
@@ -547,6 +548,12 @@ def _post_array_from_docs(terms_per_doc: list, pos_per_doc: Optional[list] = Non
     The whole batch is combined with C-speed kernels (factorize + lexsort
     + group-boundary scan) and the Arrow buffers are built directly — no
     per-object conversion on the hot path.
+
+    Precondition: terms are NUL-free.  pandas' factorize hashes object
+    strings as NUL-terminated C strings, so ``"a"`` and ``"a\x00"`` would
+    conflate; every shipped analyzer guarantees this (tokens are
+    Unicode-alnum runs — NUL is a separator), and custom analyzers must
+    uphold it rather than this kernel paying a per-token scan.
     """
     import pyarrow as pa
 
@@ -789,11 +796,14 @@ def _write_postings(
             )
         ).alias("block_id", "packed"),
     )
-    # Posting blocks persist (docid, freq, fnid) as one struct array and
-    # the (large) positions as a PARALLEL column: Parquet columnarizes
+    # Posting blocks persist (d, freq, fnid) as one struct array and the
+    # (large) position lists as a PARALLEL column: Parquet columnarizes
     # both, and keeping positions outside the scoring struct lets column
     # pruning skip position bytes entirely on non-phrase queries (nested
-    # pruning cannot reach through the explode otherwise).
+    # pruning cannot reach through the explode otherwise).  Docids are
+    # GAP-encoded int32 (functions/codec.py, −29% on the column that was
+    # ~40% of compressed postings bytes); positions stay absolute — see
+    # codec.py for the measurement showing gaps buy nothing there.
     postings = sliced.select(
         "segment_id",
         "field",
@@ -809,11 +819,7 @@ def _write_postings(
         # block_cf: per-block collection frequency, aggregated at build so
         # the dictionary pass never has to decode the entries arrays
         F.expr("aggregate(packed.freq, 0L, (a, x) -> a + x)").alias("block_cf"),
-        F.expr(
-            "transform(packed, e -> struct(e.docid as docid, e.freq as freq, e.fnid as fnid))"
-        ).alias("entries")
-        if meta.positions
-        else F.col("packed").alias("entries"),
+        encode_entries_expr("packed").alias("entries"),
         *([F.expr("transform(packed, e -> e.positions)").alias("positions")] if meta.positions else []),
     )
     t0 = time.time()

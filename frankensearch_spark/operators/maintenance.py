@@ -41,6 +41,12 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.codec import (
+    encode_entries_expr,
+    is_delta_layout,
+    reencode_absolute_entries_expr,
+    with_decoded_docids,
+)
 from ..functions.contract import POSTINGS_PER_BLOCK
 from ..sources.storage import TOMBSTONE_BROADCAST_MAX, IndexMeta, IndexStorage
 from .build import append_segment_batch
@@ -296,6 +302,9 @@ class IndexMaintenance:
         docs dropped, docids preserved, posting blocks re-packed to 128,
         and live at-seal stats.  Returns {source_segment: output_segment}.
         """
+        # compaction re-encodes posting blocks in the CURRENT layout, so a
+        # legacy index must be backfilled first or the directory goes mixed
+        self.storage.assert_appendable()
         density = self.tombstone_density()
         victims = sorted(s for s, d in density.items() if d >= max_density and d > 0)
         if not victims:
@@ -449,6 +458,10 @@ class IndexMaintenance:
             on=["segment_id", "field", "term"],
             how="left",
         )
+        # the rewrite touches every block anyway: migrate the entries to
+        # the gap layout in the same pass (one backfill, not two)
+        if not is_delta_layout(postings):
+            embedded = embedded.withColumn("entries", reencode_absolute_entries_expr())
         # overwrite-in-place is illegal (read path == write path), so this
         # goes through the write-temp + directory-swap publish primitive,
         # keeping the (segment_id, bucket) partition layout
@@ -459,6 +472,28 @@ class IndexMaintenance:
             self.storage.path("postings")
         ).count()
         shutil.rmtree(self.storage.path("terms"), ignore_errors=True)
+        return int(n)
+
+    def backfill_delta_entries(self) -> int:
+        """One-time in-place re-encode of LEGACY absolute-docid posting
+        entries into the delta layout (``functions/codec.py``), after which
+        appends/compactions are admitted again
+        (:meth:`IndexStorage.assert_appendable`).  Returns the number of
+        posting block rows rewritten (0 when already delta-encoded)."""
+        if not self.storage.table_exists("postings"):
+            return 0
+        postings = self.spark.read.format(self.storage.format).load(
+            self.storage.path("postings")
+        )
+        if is_delta_layout(postings):
+            return 0
+        migrated = postings.withColumn("entries", reencode_absolute_entries_expr())
+        self.storage.atomic_rewrite(
+            "postings", migrated, partition_by=("segment_id", "bucket")
+        )
+        n = self.spark.read.format(self.storage.format).load(
+            self.storage.path("postings")
+        ).count()
         return int(n)
 
     # ── GC ────────────────────────────────────────────────────────────────
@@ -518,39 +553,24 @@ class IndexMaintenance:
         # postings: explode entries, drop dead docids, re-pack 128-blocks
         postings = self.storage.read("postings").where(F.col("segment_id").isin(srcs))
         has_positions = "positions" in postings.columns
-        if has_positions:
-            exploded = postings.select(
-                "segment_id",
-                "field",
-                "term",
-                "bucket",
-                F.explode(F.arrays_zip("entries", "positions")).alias("e"),
-            ).select(
-                "segment_id",
-                "field",
-                "term",
-                "bucket",
-                F.col("e.entries.docid").alias("docid"),
-                F.col("e.entries.freq").alias("freq"),
-                F.col("e.entries.fnid").alias("fnid"),
-                F.col("e.positions").alias("positions"),
-            )
-        else:
-            exploded = postings.select(
-                "segment_id",
-                "field",
-                "term",
-                "bucket",
-                F.explode("entries").alias("e"),
-            ).select(
-                "segment_id",
-                "field",
-                "term",
-                "bucket",
-                F.col("e.docid").alias("docid"),
-                F.col("e.freq").alias("freq"),
-                F.col("e.fnid").alias("fnid"),
-            )
+        decoded = with_decoded_docids(postings, is_delta_layout(postings))
+        zip_cols = ("dec", "entries", "positions") if has_positions else ("dec", "entries")
+        exploded = decoded.select(
+            "segment_id",
+            "field",
+            "term",
+            "bucket",
+            F.explode_outer(F.arrays_zip(*zip_cols)).alias("e"),
+        ).select(
+            "segment_id",
+            "field",
+            "term",
+            "bucket",
+            F.col("e.dec").alias("docid"),
+            F.col("e.entries.freq").alias("freq"),
+            F.col("e.entries.fnid").alias("fnid"),
+            *([F.col("e.positions").alias("positions")] if has_positions else []),
+        )
         survivors = exploded.join(dead_side, on="docid", how="left_anti")
         w = Window.partitionBy("segment_id", "field", "term").orderBy("docid")
         blocked = survivors.withColumn(
@@ -596,11 +616,7 @@ class IndexMaintenance:
             ),
             F.expr("array_min(packed.fnid)").cast("int").alias("min_fnid"),
             F.expr("aggregate(packed.freq, 0L, (a, x) -> a + x)").alias("block_cf"),
-            F.expr(
-                "transform(packed, e -> struct(e.docid as docid, e.freq as freq, e.fnid as fnid))"
-            ).alias("entries")
-            if has_positions
-            else F.col("packed").alias("entries"),
+            encode_entries_expr("packed").alias("entries"),
             *(
                 [F.expr("transform(packed, e -> e.positions)").alias("positions")]
                 if has_positions

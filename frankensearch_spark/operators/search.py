@@ -45,6 +45,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.codec import is_delta_layout, with_decoded_docids
 from ..functions.contract import BM25_K1, compute_tf_cache, term_weight
 from ..functions.snippet import SnippetGenerator
 from ..plans import glob
@@ -618,18 +619,19 @@ class SearchEngine:
         joined = postings.join(
             F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
         )
+        joined = with_decoded_docids(joined, is_delta_layout(postings))
         return joined.select(
             "leaf_id",
             "field",
             "weight",
-            F.explode("entries").alias("e"),
+            F.explode_outer(F.arrays_zip("dec", "entries")).alias("e"),
         ).select(
             "leaf_id",
             "field",
             "weight",
-            F.col("e.docid").alias("docid"),
-            F.col("e.freq").alias("freq"),
-            F.col("e.fnid").alias("fnid"),
+            F.col("e.dec").alias("docid"),
+            F.col("e.entries.freq").alias("freq"),
+            F.col("e.entries.fnid").alias("fnid"),
         )
 
     def _score_block_subset(
@@ -735,16 +737,16 @@ class SearchEngine:
             .agg(F.sum("term_df").alias("df"))
         )
         weights = dict_rows.select("leaf_id", weight)
-        exploded = matched.select(
+        exploded = with_decoded_docids(matched, is_delta_layout(postings)).select(
             "leaf_id",
             "field",
-            F.explode("entries").alias("e"),
+            F.explode_outer(F.arrays_zip("dec", "entries")).alias("e"),
         ).select(
             "leaf_id",
             "field",
-            F.col("e.docid").alias("docid"),
-            F.col("e.freq").alias("freq"),
-            F.col("e.fnid").alias("fnid"),
+            F.col("e.dec").alias("docid"),
+            F.col("e.entries.freq").alias("freq"),
+            F.col("e.entries.fnid").alias("fnid"),
         )
         rows = exploded.join(F.broadcast(weights), on="leaf_id")
         return self._score_rows(rows)
@@ -803,17 +805,20 @@ class SearchEngine:
         )
         buckets = sorted({r[4] for r in qrows})
         postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
+        matched = postings.join(
+            F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
+        )
         rows = (
-            postings.join(F.broadcast(qterms), on=["field", "term", "bucket"], how="inner")
+            with_decoded_docids(matched, is_delta_layout(postings))
             .select(
                 "ord",
                 "off",
-                F.explode(F.arrays_zip("entries", "positions")).alias("e"),
+                F.explode_outer(F.arrays_zip("dec", "entries", "positions")).alias("e"),
             )
             .select(
                 "ord",
                 "off",
-                F.col("e.entries.docid").alias("docid"),
+                F.col("e.dec").alias("docid"),
                 F.col("e.entries.fnid").alias("fnid"),
                 F.col("e.positions").alias("positions"),
             )
@@ -983,7 +988,8 @@ class SearchEngine:
                 F.broadcast(tf), on=["field", "term"], how="leftsemi"
             )
         matched = (
-            hit.select(F.explode(F.col("entries.docid")).alias("docid"))
+            with_decoded_docids(hit, is_delta_layout(postings))
+            .select(F.explode_outer("dec").alias("docid"))
             .distinct()
         )
         return matched.select(

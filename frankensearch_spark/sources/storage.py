@@ -169,6 +169,17 @@ class IndexStorage:
                 "IndexMaintenance.backfill_embedded_terms() once (rewrites "
                 "postings with the dictionary embedded), then retry."
             )
+        element = postings.schema["entries"].dataType.elementType
+        if "d" not in element.fieldNames():
+            raise RuntimeError(
+                "refusing to append to a legacy index whose posting entries "
+                "store absolute docids: mixing them with gap-encoded "
+                "entries (functions/codec.py) in one postings directory "
+                "makes the struct schema file-dependent, so a plain parquet "
+                "read decodes one of the layouts as NULLs.  Run "
+                "IndexMaintenance.backfill_delta_entries() once (in-place "
+                "re-encode of the entry docids), then retry."
+            )
 
     @staticmethod
     def derive_terms(postings: DataFrame):

@@ -42,11 +42,24 @@ def legacy(spark, tmp_path_factory):
         "segment_id", "field", "term", "bucket", "df", "cf"
     )
     terms.write.mode("overwrite").partitionBy("bucket").parquet(storage.path("terms"))
-    # strip the embedded columns (write-temp + swap; same-path overwrite is illegal)
+    # strip the embedded columns AND re-expand the gap-encoded entry
+    # docids to the absolute int64 layout legacy indexes carried
+    # (write-temp + swap; same-path overwrite is illegal)
+    from frankensearch_spark.functions.codec import with_decoded_docids
+
+    legacy_postings = (
+        with_decoded_docids(postings.drop("term_df", "term_cf"), True)
+        .withColumn(
+            "entries",
+            F.expr(
+                "zip_with(dec, entries, (id, e) -> "
+                "struct(id as docid, e.freq as freq, e.fnid as fnid))"
+            ),
+        )
+        .drop("dec")
+    )
     storage.atomic_rewrite(
-        "postings",
-        postings.drop("term_df", "term_cf"),
-        partition_by=("segment_id", "bucket"),
+        "postings", legacy_postings, partition_by=("segment_id", "bucket")
     )
     return d, expected, corpus
 
@@ -79,6 +92,10 @@ def test_backfill_then_append(spark, legacy, tmp_path):
     n = idx.maintenance.backfill_embedded_terms()
     assert n > 0
     assert not idx.storage.table_exists("terms")  # physical dir deleted
+    # the one-pass backfill also migrated the entries to the delta layout
+    from frankensearch_spark.functions.codec import is_delta_layout
+
+    assert is_delta_layout(spark.read.parquet(idx.storage.path("postings")))
     idx.reopen()
     for q in QUERIES:
         assert _hits(idx, q) == expected[q], q

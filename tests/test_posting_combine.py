@@ -69,11 +69,27 @@ def test_pair_combine_edge_cases():
     )
 
 
+# NUL is excluded from generated terms: pandas' factorize hashes object
+# strings NUL-terminated, conflating "a" with "a\x00" — and no shipped
+# analyzer can emit NUL (tokens are Unicode-alnum runs, NUL is a
+# separator), so the kernel documents NUL-free terms as a precondition
+# rather than paying a per-token scan on the hot path.
+# ...surrogates are excluded too: terms arrive through Arrow as UTF-8,
+# which cannot carry lone surrogates in the first place.
+_term = st.text(
+    alphabet=st.characters(
+        blacklist_characters="\x00", blacklist_categories=("Cs",)
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
 @settings(max_examples=50, deadline=None)
 @given(
     st.lists(
         st.lists(
-            st.one_of(st.none(), st.text(min_size=1, max_size=6)),
+            st.one_of(st.none(), _term),
             max_size=40,
         ),
         max_size=20,
@@ -87,7 +103,7 @@ def test_token_combine_property(docs):
 @given(
     st.lists(
         st.lists(
-            st.tuples(st.integers(0, 100), st.text(min_size=1, max_size=6)),
+            st.tuples(st.integers(0, 100), _term),
             max_size=40,
         ),
         max_size=20,
