@@ -23,13 +23,20 @@ class LexicalIndex:
     """One index directory: build it from a DataFrame, then query it."""
 
     def __init__(
-        self, spark: SparkSession, index_dir: str, include_unsealed: bool = False
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        include_unsealed: bool = False,
+        query_fuel_budget: Optional[int] = None,
     ):
         self.spark = spark
         self.index_dir = index_dir
         #: opt into pre-commit delta segments (upsert(..., seal=False)
         #: batches) at the cost of the committed-snapshot guarantee
         self.include_unsealed = include_unsealed
+        #: coarse work admission budget per query; None = engine default
+        #: (reference config.rs::query_fuel_budget, default 10,000,000)
+        self.query_fuel_budget = query_fuel_budget
         self._engine: Optional[SearchEngine] = None
 
     # ── build ─────────────────────────────────────────────────────────────
@@ -188,10 +195,14 @@ class LexicalIndex:
     @property
     def engine(self) -> SearchEngine:
         if self._engine is None:
+            kwargs = {}
+            if self.query_fuel_budget is not None:
+                kwargs["query_fuel_budget"] = self.query_fuel_budget
             self._engine = SearchEngine(
                 self.spark,
                 self.index_dir,
                 include_unsealed=self.include_unsealed,
+                **kwargs,
             )
         return self._engine
 

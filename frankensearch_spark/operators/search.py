@@ -48,7 +48,7 @@ from pyspark.sql.types import (
 from ..functions.codec import is_delta_layout, with_decoded_docids
 from ..functions.contract import BM25_K1, compute_tf_cache, term_weight
 from ..functions.snippet import SnippetGenerator
-from ..plans import glob
+from ..plans import fuel, glob
 from ..plans import query as q
 from ..plans.localrel import values_frame
 from ..plans.eval import (
@@ -84,7 +84,14 @@ class SearchEngine:
         index_dir: str,
         schema: Optional[q.Schema] = None,
         include_unsealed: bool = False,
+        query_fuel_budget: int = fuel.DEFAULT_QUERY_FUEL_BUDGET,
     ):
+        #: coarse work admission budget (reference config.rs query_fuel_budget);
+        #: validated like the reference config (zero budgets are rejected)
+        self.query_fuel_budget = fuel.validate_budget(query_fuel_budget)
+        #: units the most recent admitted query was charged (observability,
+        #: the analogue of the reference's profile-receipt fuel counter)
+        self.last_fuel_units: Optional[int] = None
         self.spark = spark
         self.storage = IndexStorage(spark, index_dir)
         self.meta = self.storage.read_meta()
@@ -157,9 +164,9 @@ class SearchEngine:
         }
         #: (field, term) -> doc_freq resolved this session (dictionary probes)
         self._doc_freq_cache: dict[tuple[str, str], int] = {}
-        #: (field, pattern) -> expanded terms; valid for the engine's
-        #: lifetime because the dictionary is snapshot-pinned
-        self._glob_cache: dict[tuple[str, str], list[str]] = {}
+        #: (field, pattern) -> [(term, df), ...] expansion; valid for the
+        #: engine's lifetime because the dictionary is snapshot-pinned
+        self._glob_cache: dict[tuple[str, str], list[tuple[str, int]]] = {}
         #: ranked query cache keyed by (query, limit, offset, exact_count);
         #: valid for this engine's lifetime because the engine is pinned to
         #: one snapshot (reference index.rs:7407 keys by snapshot epoch —
@@ -230,6 +237,7 @@ class SearchEngine:
         plan = compile_query(q.canonicalize_query(tree))
         if plan.is_empty:
             return SearchResult(hits=_empty_hits(), total_count=0 if exact_count else None)
+        self._charge_fuel(plan)
         scored = None
         # exact_count needs every match counted, so pruning never applies
         if prune and not exact_count:
@@ -353,6 +361,7 @@ class SearchEngine:
         plan = compile_query(q.canonicalize_query(tree))
         if plan.is_empty:
             return None
+        self._charge_fuel(plan)
         scored = self._evaluate(plan)
         if scored is None:
             return None
@@ -486,6 +495,53 @@ class SearchEngine:
         if self._tombstone_count <= self.tombstone_broadcast_max:
             tombs = F.broadcast(tombs)
         return frame.join(tombs, on="docid", how="left_anti")
+
+    def _charge_fuel(self, plan: EvalPlan) -> int:
+        """Admit or reject one compiled plan against the fuel budget.
+
+        Two-level check (see :mod:`..plans.fuel`): a pessimistic zero-job
+        bound admits every ordinary query without touching the dictionary
+        — the hot path stays ONE Spark action — and only a query whose
+        worst case overflows the budget pays the probe/expansion jobs for
+        an exact decision (jobs its execution would pay anyway).  Raises
+        :class:`~frankensearch_spark.plans.fuel.QueryFuelExhausted` when
+        the exact estimate still exceeds the budget.
+        """
+
+        def df_of(leaf) -> Optional[int]:
+            if not self._is_text(leaf.field):
+                return 0  # docs-table scan: no posting blocks to charge
+            return self._doc_freq_cache.get((leaf.field, leaf.term))
+
+        def glob_expansion(leaf) -> Optional[list]:
+            if not self._is_text(leaf.field):
+                return []  # keyword glob scans the docs table
+            return self._glob_cache.get((leaf.field, leaf.pattern))
+
+        args = (len(self.live_segments), self.doc_count, df_of, glob_expansion)
+        units, exact = fuel.estimate_fuel(plan, *args)
+        if units <= self.query_fuel_budget:
+            self.last_fuel_units = units
+            return units
+        if not exact:
+            # resolve the pessimistic unknowns: one dictionary probe for
+            # all unresolved term/phrase dfs + the glob expansions
+            pairs = set()
+            for leaf in plan.leaves:
+                if leaf.kind == "term" and self._is_text(leaf.field):
+                    pairs.add((leaf.field, leaf.term))
+                elif leaf.kind == "phrase" and self._is_text(leaf.field):
+                    pairs.update((leaf.field, t) for _, t in leaf.terms)
+                elif leaf.kind == "glob" and self._is_text(leaf.field):
+                    self._expand_glob_with_df(leaf.field, leaf.pattern)
+            pairs -= set(self._doc_freq_cache)
+            if pairs:
+                self._doc_freqs(sorted(pairs))
+            units, _ = fuel.estimate_fuel(plan, *args)
+            if units <= self.query_fuel_budget:
+                self.last_fuel_units = units
+                return units
+        raise fuel.QueryFuelExhausted(units, self.query_fuel_budget)
 
     def _evaluate(self, plan: EvalPlan) -> Optional[DataFrame]:
         """Return DataFrame (docid long, score float32) of matching docs."""
@@ -916,6 +972,15 @@ class SearchEngine:
         result is the first :data:`~frankensearch_spark.plans.glob.
         DEFAULT_GLOB_EXPANSION_LIMIT` matches in ascending term order.
         """
+        return [t for t, _ in self._expand_glob_with_df(field, pattern)]
+
+    def _expand_glob_with_df(self, field: str, pattern: str) -> list[tuple[str, int]]:
+        """Expansion terms plus their snapshot doc frequencies.
+
+        One dictionary job serves both the glob leaf (term set) and the
+        fuel estimator (per-term df — the posting-block charge), cached
+        for the engine's lifetime like the expansion itself.
+        """
         cached = self._glob_cache.get((field, pattern))
         if cached is not None:
             return cached
@@ -933,13 +998,15 @@ class SearchEngine:
         rows = (
             self._read_live("terms")
             .where((F.col("field") == field) & cond)
-            .select("term")
-            .distinct()  # per-segment dictionary rows -> snapshot term set
+            # per-segment dictionary rows -> snapshot term set; the sum is
+            # the snapshot df (same rollup as _doc_freqs)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
             .orderBy("term")
             .limit(glob.DEFAULT_GLOB_EXPANSION_LIMIT)
             .collect()
         )
-        terms = [r["term"] for r in rows]
+        terms = [(r["term"], int(r["df"] or 0)) for r in rows]
         self._glob_cache[(field, pattern)] = terms
         return terms
 

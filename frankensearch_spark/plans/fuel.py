@@ -1,0 +1,136 @@
+"""Query fuel budget: deterministic coarse work admission control.
+
+Reference semantics (``config.rs:35-40``, ``argus.rs:178-180,600``): one
+fuel unit is charged per segment transition, dictionary block, posting
+block, or phrase candidate whose positions are verified; a query whose
+coarse work exceeds ``query_fuel_budget`` (default 10,000,000) fails
+deterministically with a fuel-exhausted error instead of monopolizing the
+engine.  Ten million units keeps ordinary and fixture-corpus queries on
+the zero-contention fast path while bounding adversarial glob and phrase
+tails.
+
+The Spark-native analogue is **pre-flight admission**, not cursor-side
+metering: a Spark job cannot be cheaply aborted from inside a codegen'd
+stage, but every unit the reference charges is computable *before*
+execution from snapshot statistics — posting blocks per term are
+``ceil(df / 128)`` (plus one per live segment for the per-segment block
+rounding and the dictionary/segment transitions), and phrase verification
+candidates are bounded by the rarest member term's doc frequency.  The
+estimate is therefore a deterministic upper bound on the reference's
+runtime charge for the same snapshot, and admission is decided driver-side
+in O(leaves).
+
+Two-level check so the hot path stays ONE Spark action (the in-plan
+dictionary fold must not regain a driver-side probe):
+
+1. **Pessimistic pass (zero jobs)**: unknown doc frequencies are bounded
+   by ``doc_count``.  If even that total fits the budget — always true
+   until the corpus nears ``budget × 128`` postings per term — the query
+   is admitted without resolving anything.
+2. **Exact pass (one probe job)**: only when the pessimistic bound
+   overflows (a 10^11+-doc corpus, or an already-expanded adversarial
+   glob) are the real doc frequencies resolved through the engine's
+   dictionary probe, and the query is rejected only if the exact estimate
+   still exceeds the budget.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from ..functions.contract import POSTINGS_PER_BLOCK
+from .eval import EvalPlan, LeafSpec
+
+#: Default coarse work budget per query (reference
+#: ``config.rs:40 DEFAULT_QUERY_FUEL_BUDGET``).
+DEFAULT_QUERY_FUEL_BUDGET = 10_000_000
+
+
+class QueryFuelExhausted(RuntimeError):
+    """Deterministic coarse work exceeded the query fuel budget.
+
+    Mirrors the reference's fuel-exhausted error (``argus.rs:178-180``):
+    the message carries consumed/budget so callers can size retries.
+    """
+
+    def __init__(self, consumed: int, budget: int):
+        self.consumed = int(consumed)
+        self.budget = int(budget)
+        super().__init__(
+            f"query fuel exhausted after {self.consumed}/{self.budget} units; "
+            "narrow the query or raise query_fuel_budget"
+        )
+
+
+def validate_budget(budget: int) -> int:
+    """Reject non-positive budgets (reference ``config.rs:160-163``)."""
+    budget = int(budget)
+    if budget <= 0:
+        raise ValueError(
+            f"query_fuel_budget must be positive, got {budget} "
+            "(a zero budget would reject every query)"
+        )
+    return budget
+
+
+def _blocks(df: int) -> int:
+    return -(-int(df) // POSTINGS_PER_BLOCK)  # ceil division
+
+
+def estimate_fuel(
+    plan: EvalPlan,
+    n_segments: int,
+    doc_count: int,
+    df_of: Callable[[LeafSpec], Optional[int]],
+    glob_expansion: Callable[[LeafSpec], Optional[list]],
+) -> tuple[int, bool]:
+    """Coarse work units for one compiled plan.
+
+    ``df_of`` returns a term leaf's snapshot doc frequency or ``None``
+    when unresolved (the pessimistic pass substitutes ``doc_count``).
+    ``glob_expansion`` returns ``[(term, df), ...]`` for a text glob leaf,
+    or ``None`` when the expansion has not been computed yet (pessimistic:
+    one full-dictionary worst case).  Returns ``(units, exact)`` where
+    ``exact`` is False iff any unknown was bounded pessimistically.
+    """
+    units = 0
+    exact = True
+    seg = max(1, int(n_segments))
+    for leaf in plan.leaves:
+        if leaf.kind == "term":
+            df = df_of(leaf)
+            if df is None:
+                df, exact = doc_count, False
+            units += _blocks(df) + seg
+        elif leaf.kind == "phrase":
+            member_dfs = []
+            for _, _term in leaf.terms:
+                df = df_of(
+                    LeafSpec(leaf_id=-1, kind="term", field=leaf.field, term=_term)
+                )
+                if df is None:
+                    df, exact = doc_count, False
+                member_dfs.append(int(df))
+                units += _blocks(df) + seg
+            # candidates entering position verification are bounded by the
+            # rarest member term (the conjunction is a subset of each list)
+            units += min(member_dfs, default=0)
+        elif leaf.kind == "glob":
+            expansion = glob_expansion(leaf)
+            if expansion is None:
+                # worst case before expansion: the full dictionary scan
+                # touches every term's dictionary block once, and the
+                # capped expansion could decode every posting
+                from . import glob as _glob
+
+                units += _glob.DEFAULT_GLOB_EXPANSION_LIMIT + _blocks(doc_count) + seg
+                exact = False
+            else:
+                units += len(expansion) + seg
+                for _term, df in expansion:
+                    units += _blocks(int(df))
+        else:
+            # range/set/all/keyword leaves scan the docs table: charge the
+            # segment transitions (their pruning is columnar, not postings)
+            units += seg
+    return units, exact

@@ -1,0 +1,169 @@
+"""Query fuel budget: deterministic coarse work admission control.
+
+Reference semantics: ``config.rs:35-40`` (unit definition, 10M default,
+zero budgets rejected), ``argus.rs:178-180`` (fuel-exhausted error carries
+consumed/budget).  The Spark analogue is pre-flight admission (plans/fuel.py);
+these tests pin the unit accounting, the two-level check's zero-job hot
+path, and the deterministic rejection."""
+
+from __future__ import annotations
+
+import pytest
+
+from frankensearch_spark.index import LexicalIndex
+from frankensearch_spark.plans import fuel
+from frankensearch_spark.plans.eval import EvalPlan, LeafSpec
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    """300 docs so blocks(doc_count) = 3 > 1: the pessimistic bound for a
+    single term is measurably larger than a rare term's exact charge."""
+    index_dir = str(tmp_path_factory.mktemp("fuel_index"))
+    rows = [
+        {"doc_id": f"d{i:04d}", "content": f"common w{i % 10} unique{i}"}
+        for i in range(300)
+    ]
+    index = LexicalIndex(spark, index_dir).build(
+        spark.createDataFrame(rows),
+        text_fields=("content",),
+        sort_cols=("doc_id",),
+        num_segments=2,
+        num_buckets=4,
+    )
+    return index
+
+
+# ── pure estimator ──────────────────────────────────────────────────────────
+
+
+def _plan(*leaves):
+    p = EvalPlan(leaves=list(leaves), spec={"t": "leaf", "id": 0})
+    return p
+
+
+def test_term_charge_is_blocks_plus_segments():
+    leaf = LeafSpec(leaf_id=0, kind="term", field="content", term="x")
+    units, exact = fuel.estimate_fuel(
+        _plan(leaf), n_segments=3, doc_count=10_000,
+        df_of=lambda l: 1000, glob_expansion=lambda l: None,
+    )
+    # ceil(1000/128)=8 posting blocks + 3 segment/dictionary transitions
+    assert (units, exact) == (8 + 3, True)
+
+
+def test_unresolved_df_is_pessimistic_and_flagged():
+    leaf = LeafSpec(leaf_id=0, kind="term", field="content", term="x")
+    units, exact = fuel.estimate_fuel(
+        _plan(leaf), n_segments=1, doc_count=12_800,
+        df_of=lambda l: None, glob_expansion=lambda l: None,
+    )
+    assert units == 100 + 1 and exact is False
+
+
+def test_phrase_charges_member_blocks_plus_min_df_candidates():
+    leaf = LeafSpec(
+        leaf_id=0, kind="phrase", field="content",
+        terms=((0, "a"), (1, "b")),
+    )
+    dfs = {"a": 1000, "b": 40}
+    units, exact = fuel.estimate_fuel(
+        _plan(leaf), n_segments=2, doc_count=10_000,
+        df_of=lambda l: dfs[l.term], glob_expansion=lambda l: None,
+    )
+    # blocks(1000)+2 + blocks(40)+2 + min(1000,40) verification candidates
+    assert (units, exact) == ((8 + 2) + (1 + 2) + 40, True)
+
+
+def test_glob_charges_expansion_terms_and_blocks():
+    leaf = LeafSpec(leaf_id=0, kind="glob", field="content", pattern="w*")
+    units, exact = fuel.estimate_fuel(
+        _plan(leaf), n_segments=2, doc_count=10_000,
+        df_of=lambda l: None,
+        glob_expansion=lambda l: [("w1", 128), ("w2", 300)],
+    )
+    # 2 dictionary terms + 2 segments + blocks(128)=1 + blocks(300)=3
+    assert (units, exact) == (2 + 2 + 1 + 3, True)
+
+
+def test_docs_scan_leaves_charge_segment_transitions_only():
+    leaves = [
+        LeafSpec(leaf_id=0, kind="all"),
+        LeafSpec(leaf_id=1, kind="range", field="created_at", lower="a"),
+    ]
+    units, exact = fuel.estimate_fuel(
+        _plan(*leaves), n_segments=5, doc_count=10**12,
+        df_of=lambda l: None, glob_expansion=lambda l: None,
+    )
+    assert (units, exact) == (10, True)
+
+
+def test_validate_budget_rejects_nonpositive():
+    # reference config.rs:160-163: zero budgets are invalid configuration
+    with pytest.raises(ValueError, match="query_fuel_budget"):
+        fuel.validate_budget(0)
+    with pytest.raises(ValueError, match="query_fuel_budget"):
+        fuel.validate_budget(-5)
+    assert fuel.validate_budget(1) == 1
+
+
+# ── engine admission ────────────────────────────────────────────────────────
+
+
+def test_default_budget_admits_without_probing(built):
+    """The pessimistic pass must keep the term hot path at one action:
+    admission under the default budget resolves NO doc frequencies."""
+    engine = built.engine
+    assert engine.query_fuel_budget == fuel.DEFAULT_QUERY_FUEL_BUDGET
+    before = dict(engine._doc_freq_cache)
+    hits = built.search("common", limit=5).hits
+    assert len(hits) > 0
+    assert engine.last_fuel_units is not None
+    assert engine._doc_freq_cache == before  # no driver-side probe happened
+
+
+def test_exhaustion_raises_with_consumed_and_budget(built, spark, tmp_path_factory):
+    tiny = LexicalIndex(spark, built.index_dir, query_fuel_budget=1)
+    with pytest.raises(fuel.QueryFuelExhausted) as exc:
+        tiny.search("common w1 w2", limit=5)
+    assert exc.value.budget == 1
+    assert exc.value.consumed > 1
+    assert f"{exc.value.consumed}/1 units" in str(exc.value)
+
+
+def test_exact_pass_rescues_rare_term(built, spark):
+    """Budget below the pessimistic bound but above the exact charge:
+    the engine resolves the real df (one probe) and admits the query."""
+    probe = built.engine
+    seg = len(probe.live_segments)
+    # pessimistic bound for one term: blocks(doc_count) + seg
+    pessimistic = -(-probe.doc_count // 128) + seg
+    rescued = LexicalIndex(spark, built.index_dir, query_fuel_budget=seg + 1)
+    assert seg + 1 < pessimistic  # the pessimistic pass must overflow
+    eng = rescued.engine
+    assert eng._doc_freq_cache == {}
+    hits = rescued.search("unique7", limit=5).hits  # df = 1: one block
+    assert list(hits["doc_id"]) == ["d0007"]
+    assert eng._doc_freq_cache  # exact pass probed the dictionary
+    assert eng.last_fuel_units is not None
+    assert eng.last_fuel_units <= seg + 1
+
+
+def test_fuel_estimate_is_deterministic(built):
+    engine = built.engine
+    built.search("common w1", limit=5)
+    first = engine.last_fuel_units  # may be the pessimistic bound
+    engine._query_cache.clear()  # force re-execution, keep the df cache
+    built.search("common w1", limit=5)
+    second = engine.last_fuel_units  # exact iff something resolved the dfs
+    engine._query_cache.clear()
+    built.search("common w1", limit=5)
+    # same snapshot + same cache state -> identical charge; the bound can
+    # only tighten (pessimistic >= exact), never wander
+    assert engine.last_fuel_units == second
+    assert first >= second
+
+
+def test_zero_budget_rejected_at_open(built, spark):
+    with pytest.raises(ValueError, match="query_fuel_budget"):
+        _ = LexicalIndex(spark, built.index_dir, query_fuel_budget=0).engine
