@@ -250,3 +250,9 @@ class LexicalIndex:
 
     def collect_docids(self, query: q.Query | str, max_rows: int = 1_000_000) -> list[int]:
         return self.engine.collect_docids(query, max_rows=max_rows)
+
+    def segment_metrics(self) -> DataFrame:
+        """Per-partition lineage + metrics rollup (one row per live
+        segment: docid range, status, publish time, token/posting/term
+        counts, tombstoned docs).  Distributed; derived at report time."""
+        return self.engine.segment_metrics()

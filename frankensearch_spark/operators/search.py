@@ -352,6 +352,69 @@ class SearchEngine:
         )
         return SearchResult(hits=hits, total_count=result.total_count)
 
+    def segment_metrics(self) -> DataFrame:
+        """Per-partition lineage + metrics rollup for this snapshot.
+
+        One row per live segment joining the manifest's lineage (docid
+        range, status, publish time — what bulk resume keys on) with
+        metrics derived from the segment's own tables: token totals,
+        posting entries/blocks, distinct terms, and tombstoned docs.
+        Everything is computed at report time from data the build already
+        wrote — the build hot path pays nothing — and the frame stays
+        distributed (O(segments) rows), so the report works unchanged at
+        10^7 segments.  Reference analogue: the MANIFEST's per-segment
+        stats block (``keeper.rs`` segment records); Iceberg analogue:
+        per-partition manifests + ``files`` metadata table.
+        """
+        man = (
+            self.storage.read("manifest")
+            .where(F.col("segment_id").isin(self.live_segments))
+            .select(
+                "generation",
+                "segment_id",
+                "status",
+                "docid_lo",
+                "docid_hi",
+                "doc_count",
+                "built_at",
+            )
+            .dropDuplicates(["segment_id"])
+        )
+        stats = (
+            self._read_live("field_stats")
+            .dropDuplicates(["segment_id", "field"])
+            .groupBy("segment_id")
+            .agg(F.sum("total_tokens").alias("total_tokens"))
+        )
+        postings = self._read_live("postings")
+        post = postings.groupBy("segment_id").agg(
+            F.count(F.lit(1)).alias("posting_blocks"),
+            F.sum(F.size("entries")).alias("posting_entries"),
+            F.sum(F.when(F.col("block_id") == 0, 1).otherwise(0)).alias("terms"),
+        )
+        out = (
+            man.join(stats, on="segment_id", how="left")
+            .join(post, on="segment_id", how="left")
+        )
+        if self._tombstones is not None:
+            dead = (
+                self._read_live("docs")
+                .join(self._tombstones, on="docid", how="leftsemi")
+                .groupBy("segment_id")
+                .agg(F.count(F.lit(1)).alias("tombstoned_docs"))
+            )
+            out = out.join(dead, on="segment_id", how="left")
+        else:
+            out = out.withColumn("tombstoned_docs", F.lit(0).cast("long"))
+        fill = {
+            "total_tokens": 0,
+            "posting_blocks": 0,
+            "posting_entries": 0,
+            "terms": 0,
+            "tombstoned_docs": 0,
+        }
+        return out.fillna(fill).orderBy("segment_id")
+
     def docid_frame(self, query: q.Query | str) -> Optional[DataFrame]:
         """Scoreless unique docid set as a DataFrame (reference DocSet
         collector, argus.rs:5510).  This is the scale path: callers join
