@@ -28,6 +28,7 @@ class LexicalIndex:
         index_dir: str,
         include_unsealed: bool = False,
         query_fuel_budget: Optional[int] = None,
+        at_generation: Optional[int] = None,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -37,6 +38,9 @@ class LexicalIndex:
         #: coarse work admission budget per query; None = engine default
         #: (reference config.rs::query_fuel_budget, default 10,000,000)
         self.query_fuel_budget = query_fuel_budget
+        #: open a PAST committed generation (VERSION AS OF); readable
+        #: until maintenance().gc() expires the history
+        self.at_generation = at_generation
         self._engine: Optional[SearchEngine] = None
 
     # ── build ─────────────────────────────────────────────────────────────
@@ -198,6 +202,8 @@ class LexicalIndex:
             kwargs = {}
             if self.query_fuel_budget is not None:
                 kwargs["query_fuel_budget"] = self.query_fuel_budget
+            if self.at_generation is not None:
+                kwargs["at_generation"] = self.at_generation
             self._engine = SearchEngine(
                 self.spark,
                 self.index_dir,

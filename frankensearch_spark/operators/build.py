@@ -884,5 +884,9 @@ def _write_manifest(
         "doc_count",
         F.lit(status).alias("status"),
         F.lit(time.time()).alias("built_at"),
+        # history retention: never-superseded rows carry NULL; maintenance
+        # stamps the superseding generation instead of dropping the row,
+        # so past generations stay openable (at_generation) until gc()
+        F.lit(None).cast("long").alias("superseded_at"),
     )
     storage.write_table(manifest, "manifest", mode, coalesce=1)

@@ -498,11 +498,24 @@ class IndexMaintenance:
 
     # ── GC ────────────────────────────────────────────────────────────────
 
-    def gc(self) -> list[str]:
-        """Delete segment partition directories not referenced by the
-        manifest (the writer-admitted GC of plan §11.4).  Returns removed
-        paths.  Safe only when no reader is pinned to an older manifest."""
-        live = set(self.storage.live_segments())
+    def gc(self, expire_history: bool = True) -> list[str]:
+        """Delete segment directories no current/pending reader can reach
+        (the writer-admitted GC of plan §11.4) and, by default, expire the
+        superseded manifest/tombstone history with them (the Iceberg
+        expire-snapshots analogue — ``at_generation`` readers below the
+        recorded ``history_floor`` are refused afterwards, instead of
+        silently reading vanished files).  Returns removed paths.  Safe
+        only when no reader is pinned to an older manifest.
+
+        ``expire_history=False`` removes nothing and keeps time travel
+        intact: superseded segments stay on disk precisely because
+        history rows still reference them.
+        """
+        if not expire_history:
+            return []
+        # unsealed segments are pending, not garbage: their seal() must
+        # still find the data dirs
+        keep = set(self.storage.live_segments(include_unsealed=True))
         removed = []
         for table in ("docs", "doclens", "postings", "terms"):  # terms: legacy dirs only
             root = self.storage.path(table)
@@ -512,10 +525,24 @@ class IndexMaintenance:
                 if not entry.startswith("segment_id="):
                     continue
                 seg = int(entry.split("=", 1)[1])
-                if seg not in live:
+                if seg not in keep:
                     path = os.path.join(root, entry)
                     shutil.rmtree(path, ignore_errors=True)
                     removed.append(path)
+        # expire the history rows that referenced the deleted segments
+        man = self.storage.read("manifest")
+        if "superseded_at" in man.columns:
+            self.storage.atomic_rewrite(
+                "manifest", man.where(F.col("superseded_at").isNull())
+            )
+        if self.storage.table_exists("tombstones"):
+            tombs = self.storage.read("tombstones")
+            kept = tombs.where(F.col("segment_id").isin(sorted(keep)))
+            self.storage.atomic_rewrite("tombstones", kept)
+        floor = self.storage.current_generation()
+        if floor > self.meta.history_floor:
+            self.meta.history_floor = floor
+            self.storage.write_meta(self.meta)
         return removed
 
     # ── internals ─────────────────────────────────────────────────────────
@@ -701,25 +728,45 @@ class IndexMaintenance:
             F.lit("sealed").alias("status"),
             F.lit(time.time()).alias("built_at"),
         )
-        manifest = (
-            self.storage.read("manifest")
-            .where(~F.col("segment_id").isin(srcs))
-            .dropDuplicates(["segment_id"])
+        # History retention (the Iceberg snapshot-log analogue): source
+        # segments' rows are STAMPED with the superseding generation, not
+        # dropped — readers pinned to an older generation (at_generation)
+        # keep resolving their exact segment set until gc() expires the
+        # history.  Default readers filter superseded_at IS NULL, so the
+        # visible state is byte-identical to the old drop.
+        gen_next = self.meta.generation + 1
+        man = self.storage.read("manifest")
+        if "superseded_at" not in man.columns:
+            man = man.withColumn("superseded_at", F.lit(None).cast("long"))
+        manifest = man.withColumn(
+            "superseded_at",
+            F.when(
+                F.col("segment_id").isin(srcs) & F.col("superseded_at").isNull(),
+                F.lit(gen_next).cast("long"),
+            ).otherwise(F.col("superseded_at")),
+        ).dropDuplicates(["segment_id", "superseded_at"])
+        new_rows = new_rows.withColumn(
+            "superseded_at", F.lit(None).cast("long")
         )
         self.storage.atomic_rewrite("manifest", manifest.unionByName(new_rows))
-        if self.storage.table_exists("tombstones"):
+        # Tombstones need NO fold rewrite: a row whose segment is no longer
+        # live is definitionally folded (compaction removed its docids
+        # physically), and readers scope the pinned set to their live
+        # segments — the row lingers only for time-travel readers pinned
+        # before this supersede, and gc() expires it with the history.
+        if remap_tombstones and self.storage.table_exists("tombstones"):
+            # merge carries unfolded tombstones over to the output segment
+            # ids — as COPIES, so readers pinned before the merge still
+            # resolve the rows under the source ids (their live set); each
+            # reader's liveness scoping picks exactly one copy
+            seg_map = F.create_map(
+                *[F.lit(x) for pair in mapping.items() for x in pair]
+            )
             tombs = self.storage.read("tombstones")
-            if fold_tombstones:
-                tombs = tombs.where(~F.col("segment_id").isin(srcs))
-            elif remap_tombstones:
-                seg_map = F.create_map(
-                    *[F.lit(x) for pair in mapping.items() for x in pair]
-                )
-                tombs = tombs.withColumn(
-                    "segment_id",
-                    F.coalesce(seg_map[F.col("segment_id")], F.col("segment_id")),
-                )
-            self.storage.atomic_rewrite("tombstones", tombs)
+            moved = tombs.where(F.col("segment_id").isin(srcs)).withColumn(
+                "segment_id", seg_map[F.col("segment_id")]
+            )
+            self.storage.atomic_rewrite("tombstones", tombs.unionByName(moved))
         self._bump_generation()
 
     def _bump_generation(self) -> None:

@@ -85,6 +85,7 @@ class SearchEngine:
         schema: Optional[q.Schema] = None,
         include_unsealed: bool = False,
         query_fuel_budget: int = fuel.DEFAULT_QUERY_FUEL_BUDGET,
+        at_generation: Optional[int] = None,
     ):
         #: coarse work admission budget (reference config.rs query_fuel_budget);
         #: validated like the reference config (zero budgets are rejected)
@@ -106,8 +107,26 @@ class SearchEngine:
         # generation they were staged for, so an unsealed upsert's deletes
         # and adds appear together (reference delta.rs pre-commit reads);
         # it trades the committed-snapshot guarantee for freshness.
+        # ``at_generation`` time-travels the pin to a PAST committed
+        # generation (VERSION AS OF): the manifest's history rows resolve
+        # the segment set as of that generation, until gc() expires the
+        # history (meta.history_floor records the expiry point so stale
+        # opens fail loudly instead of reading vanished files).
+        if at_generation is not None:
+            at_generation = int(at_generation)
+            current = self.storage.current_generation()
+            if at_generation > current:
+                raise ValueError(
+                    f"at_generation={at_generation} is in the future "
+                    f"(current generation {current})"
+                )
+            if at_generation < self.meta.history_floor:
+                raise ValueError(
+                    f"at_generation={at_generation} was expired by gc() "
+                    f"(history floor {self.meta.history_floor})"
+                )
         self.live_segments = self.storage.live_segments(
-            include_unsealed=include_unsealed
+            include_unsealed=include_unsealed, at_generation=at_generation
         )
         # Tombstones are pinned alongside the segment set: the engine
         # captures (a) the manifest generation and (b) the tombstone files
@@ -115,11 +134,13 @@ class SearchEngine:
         # reopen() — no mixed-generation reads (reference Arc-swap
         # isolation), and tombstones staged by an in-flight upsert for the
         # NEXT generation are gated out until its manifest append.
-        self.generation = self.storage.current_generation(
-            include_unsealed=include_unsealed
+        self.generation = (
+            at_generation
+            if at_generation is not None
+            else self.storage.current_generation(include_unsealed=include_unsealed)
         )
         self._tombstones, self._tombstone_count = self.storage.pinned_tombstones(
-            self.generation
+            self.generation, live_segments=self.live_segments
         )
         #: Force-broadcast the tombstone anti-join only up to this many
         #: tombstoned docids (sources.storage.TOMBSTONE_BROADCAST_MAX);

@@ -64,6 +64,10 @@ class IndexMeta:
     generation: int = 1
     positions: bool = True
     created_at: float = 0.0
+    #: oldest generation still openable with ``at_generation`` (snapshot
+    #: history below this was expired by gc() — the Iceberg
+    #: expire-snapshots analogue); 0 = full history retained
+    history_floor: int = 0
     #: per-text-field analyzer: "default" | "cass_hyphen" | "cass_prefix";
     #: missing entries mean "default"
     analyzers: dict = dc_field(default_factory=dict)
@@ -124,6 +128,17 @@ class IndexStorage:
     def read(self, table: str) -> DataFrame:
         if table == "terms":
             return self._read_terms()
+        if table == "manifest":
+            # a legacy manifest appended to by history-retaining code mixes
+            # files with and without superseded_at; parquet samples ONE
+            # footer unless schemas are merged — the table is a handful of
+            # rows, so merging is free and the column surfaces as NULL for
+            # legacy rows (= never superseded, the correct reading)
+            return (
+                self.spark.read.format(self.format)
+                .option("mergeSchema", "true")
+                .load(self.path(table))
+            )
         return self.spark.read.format(self.format).load(self.path(table))
 
     def _read_terms(self) -> DataFrame:
@@ -246,31 +261,54 @@ class IndexStorage:
 
     # ── snapshot surface ──────────────────────────────────────────────────
 
-    def live_segments(self, include_unsealed: bool = False) -> list[int]:
-        """Segment ids visible in the current manifest generation.
+    def live_segments(
+        self,
+        include_unsealed: bool = False,
+        at_generation: int | None = None,
+    ) -> list[int]:
+        """Segment ids visible in the current (or a past) generation.
 
         The manifest is the snapshot source of truth: appends publish new
         segments by appending rows; compaction/merge supersede segments by
-        atomically rewriting the manifest without them.  Readers must
-        filter every per-segment table by this set (partition pruning makes
-        the filter free), which is what pins one generation per query.
+        stamping their rows with ``superseded_at = <new generation>``
+        (history-retaining — the Iceberg snapshot-log analogue) instead of
+        dropping them.  Readers must filter every per-segment table by
+        this set (partition pruning makes the filter free), which is what
+        pins one generation per query.
 
         ``include_unsealed`` additionally exposes segments published with
         ``status='unsealed'`` (pre-commit delta visibility, reference
         ``quill/src/delta.rs:1-37`` — deltas searchable before the sealing
         commit).  Default readers never see them.
+
+        ``at_generation`` time-travels: a segment is live at generation
+        ``g`` iff it was sealed at some generation <= g and not superseded
+        at or before g (VERSION AS OF).  History remains readable until
+        :meth:`~frankensearch_spark.operators.maintenance.Maintenance.gc`
+        expires it.
         """
         if not self.table_exists("manifest"):
             return []
-        statuses = ("sealed", "unsealed") if include_unsealed else ("sealed",)
-        rows = (
-            self.read("manifest")
-            .where(F.col("status").isin(*statuses))
-            .select("segment_id")
-            .distinct()
-            .collect()
+        man = self.read("manifest")
+        sup = (
+            F.col("superseded_at")
+            if "superseded_at" in man.columns
+            # legacy manifests predate history retention: nothing is marked
+            else F.lit(None).cast("long")
         )
-        return sorted(r["segment_id"] for r in rows)
+        if at_generation is not None:
+            g = int(at_generation)
+            rows = man.where(
+                (F.col("status") == "sealed")
+                & (F.col("generation") <= g)
+                & (sup.isNull() | (sup > g))
+            )
+        else:
+            statuses = ("sealed", "unsealed") if include_unsealed else ("sealed",)
+            rows = man.where(F.col("status").isin(*statuses) & sup.isNull())
+        return sorted(
+            r["segment_id"] for r in rows.select("segment_id").distinct().collect()
+        )
 
     def current_generation(self, include_unsealed: bool = False) -> int:
         """Highest published manifest generation (0 when no manifest).
@@ -296,7 +334,7 @@ class IndexStorage:
         row = man.agg(F.max("generation").alias("g")).collect()[0]
         return int(row["g"] or 0)
 
-    def pinned_tombstones(self, generation: int):
+    def pinned_tombstones(self, generation: int, live_segments=None):
         """Tombstoned docids visible at ``generation``, pinned to the
         tombstone files present right now (snapshot isolation for deletes:
         tombstones appended after this call are invisible to the caller,
@@ -304,6 +342,14 @@ class IndexStorage:
         ``(df, count)`` where ``df`` is a persisted single-column (docid)
         DataFrame (``(None, 0)`` when empty); the count lets callers
         size-gate broadcast anti-joins against the set.
+
+        ``live_segments`` (the caller's pinned segment set) scopes the set
+        to tombstones whose segment is live at the pinned generation: a
+        row whose segment was superseded is *folded* — compaction already
+        removed those docids physically, so the row lingers only as
+        history for time-travel readers pinned before the supersede (no
+        tombstone rewrite happens at fold; liveness of the segment IS the
+        fold marker).
         """
         root = self.path("tombstones")
         if not os.path.isdir(root):
@@ -318,6 +364,8 @@ class IndexStorage:
         df = self.spark.read.parquet(*files)
         if "generation" in df.columns:
             df = df.where(F.col("generation") <= generation)
+        if live_segments is not None and "segment_id" in df.columns:
+            df = df.where(F.col("segment_id").isin(list(live_segments)))
         df = df.select("docid").distinct().persist()
         n = df.count()
         if n == 0:
