@@ -516,20 +516,9 @@ class IndexMaintenance:
         # unsealed segments are pending, not garbage: their seal() must
         # still find the data dirs
         keep = set(self.storage.live_segments(include_unsealed=True))
-        removed = []
-        for table in ("docs", "doclens", "postings", "terms"):  # terms: legacy dirs only
-            root = self.storage.path(table)
-            if not os.path.isdir(root):
-                continue
-            for entry in os.listdir(root):
-                if not entry.startswith("segment_id="):
-                    continue
-                seg = int(entry.split("=", 1)[1])
-                if seg not in keep:
-                    path = os.path.join(root, entry)
-                    shutil.rmtree(path, ignore_errors=True)
-                    removed.append(path)
-        # expire the history rows that referenced the deleted segments
+        # Expire the history rows BEFORE touching directories: a crash
+        # mid-gc then leaves only orphan dirs (harmless; the next gc
+        # sweeps them), never history rows pointing at vanished files.
         man = self.storage.read("manifest")
         if "superseded_at" in man.columns:
             self.storage.atomic_rewrite(
@@ -543,6 +532,19 @@ class IndexMaintenance:
         if floor > self.meta.history_floor:
             self.meta.history_floor = floor
             self.storage.write_meta(self.meta)
+        removed = []
+        for table in ("docs", "doclens", "postings", "terms"):  # terms: legacy dirs only
+            root = self.storage.path(table)
+            if not os.path.isdir(root):
+                continue
+            for entry in os.listdir(root):
+                if not entry.startswith("segment_id="):
+                    continue
+                seg = int(entry.split("=", 1)[1])
+                if seg not in keep:
+                    path = os.path.join(root, entry)
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(path)
         return removed
 
     # ── internals ─────────────────────────────────────────────────────────
