@@ -106,6 +106,17 @@ def _q_bm25_glob_mix(spark, sf_dir):
     return _hits_df(spark, sf_dir, "mer* spark")
 
 
+def _q_bm25_pruned(spark, sf_dir):
+    """The flagship disjunction through the FORCED pruned plan (MaxScore
+    split + BMW block filter): the rank-safety contract says it must be
+    hash-exact against the same independent SQL oracle as the exhaustive
+    plan — an external check, not just the internal differential."""
+    hits = _index(spark, sf_dir).search(FLAGSHIP_QUERY, limit=10, prune=True).hits
+    pdf = hits[["doc_id", "score", "rank"]].copy()
+    pdf["rank"] = pdf["rank"].astype("int32")
+    return spark.createDataFrame(pdf, schema="doc_id string, score float, rank int")
+
+
 def _q_bm25_count(spark, sf_dir):
     res = _index(spark, sf_dir).search("spark merge", limit=1, exact_count=True)
     return spark.createDataFrame([(int(res.total_count),)], "n_matches bigint")
@@ -262,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_boolean_not": _q_bm25_not,
         "bm25_top10_phrase": _q_bm25_phrase,
         "bm25_top10_glob_mix": _q_bm25_glob_mix,
+        "bm25_top10_pruned": _q_bm25_pruned,
         "bm25_match_count": _q_bm25_count,
         "bm25_top10_offset": _q_bm25_offset,
         "bm25_top10_hydrated": _q_bm25_hydrated,
@@ -298,6 +310,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_top10_phrase": dsql.bm25_phrase_sql(["value", "table"]),
         "bm25_top10_glob_mix": dsql.bm25_glob_mix_sql("mer", "spark"),
+        "bm25_top10_pruned": dsql.bm25_topk_sql(
+            should=["spark", "merge", "sort", "window"]
+        ),
         "bm25_match_count": dsql.bm25_count_sql(["spark", "merge"]),
         "bm25_top10_offset": dsql.bm25_topk_sql(
             should=["spark", "merge", "sort", "window"], k=10, offset=10
