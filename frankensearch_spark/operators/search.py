@@ -73,6 +73,10 @@ class SearchResult:
 
     hits: pd.DataFrame
     total_count: Optional[int] = None
+    #: coarse work units this query was admitted at (the reference's
+    #: profile-receipt fuel counter, index.rs:2026); None on cache hits
+    #: constructed before admission ran
+    fuel_units: Optional[int] = None
 
 
 class SearchEngine:
@@ -236,10 +240,16 @@ class SearchEngine:
         cached = self._query_cache.get(cache_key)
         if cached is not None:
             self._query_cache.move_to_end(cache_key)
-            return SearchResult(hits=cached.hits.copy(), total_count=cached.total_count)
+            return SearchResult(
+                hits=cached.hits.copy(),
+                total_count=cached.total_count,
+                fuel_units=cached.fuel_units,
+            )
         result = self._search_uncached(query, limit, offset, exact_count, prune, hydrate)
         self._query_cache[cache_key] = SearchResult(
-            hits=result.hits.copy(), total_count=result.total_count
+            hits=result.hits.copy(),
+            total_count=result.total_count,
+            fuel_units=result.fuel_units,
         )
         if len(self._query_cache) > self.query_cache_capacity:
             self._query_cache.popitem(last=False)
@@ -258,7 +268,7 @@ class SearchEngine:
         plan = compile_query(q.canonicalize_query(tree))
         if plan.is_empty:
             return SearchResult(hits=_empty_hits(), total_count=0 if exact_count else None)
-        self._charge_fuel(plan)
+        charged = self._charge_fuel(plan)
         scored = None
         # exact_count needs every match counted, so pruning never applies
         if prune and not exact_count:
@@ -274,7 +284,11 @@ class SearchEngine:
         if scored is None:
             scored = self._evaluate(plan)
         if scored is None:
-            return SearchResult(hits=_empty_hits(), total_count=0 if exact_count else None)
+            return SearchResult(
+                hits=_empty_hits(),
+                total_count=0 if exact_count else None,
+                fuel_units=charged,
+            )
         total = None
         # The single-leaf plan (hottest query class) contains no shuffle
         # exchange: scan -> broadcast join -> score -> TakeOrdered.  AQE
@@ -297,7 +311,7 @@ class SearchEngine:
                 )
         winners = winners.iloc[offset:].reset_index(drop=True)
         hits = self._materialize(winners, hydrate)
-        return SearchResult(hits=hits, total_count=total)
+        return SearchResult(hits=hits, total_count=total, fuel_units=charged)
 
     @contextmanager
     def _adaptive_off(self):

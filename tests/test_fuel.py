@@ -116,9 +116,11 @@ def test_default_budget_admits_without_probing(built):
     engine = built.engine
     assert engine.query_fuel_budget == fuel.DEFAULT_QUERY_FUEL_BUDGET
     before = dict(engine._doc_freq_cache)
-    hits = built.search("common", limit=5).hits
-    assert len(hits) > 0
+    result = built.search("common", limit=5)
+    assert len(result.hits) > 0
     assert engine.last_fuel_units is not None
+    # the charge rides the result (the profile-receipt fuel counter)
+    assert result.fuel_units == engine.last_fuel_units
     assert engine._doc_freq_cache == before  # no driver-side probe happened
 
 
