@@ -90,7 +90,7 @@ def select_strategy(engine, plan: EvalPlan) -> Optional[str]:
     the BMW block filter); the dispatch decides *whether* the pruned plan
     runs, which is the reference's actual selection semantics.
     """
-    if not pruned_applicable(plan):
+    if not pruned_applicable(plan, is_text=engine._is_text):
         return None
     if len(plan.leaves) < 2:
         return None  # one cursor never prunes (both gates need >=2 clauses)
@@ -124,16 +124,25 @@ def select_strategy(engine, plan: EvalPlan) -> Optional[str]:
     return None
 
 
-def pruned_applicable(plan: EvalPlan) -> bool:
+def pruned_applicable(plan: EvalPlan, is_text=None) -> bool:
     """True when the eval spec is a pure term-disjunction the pruner covers.
 
     Required shape: every leaf is a text-field term; the spec is a single
     leaf, a union of leaves, or a Boolean with Should-only children that
     are leaves/unions (score == sum of matched leaf scores).
+
+    ``is_text`` is the engine's field-type predicate.  Keyword/i64 term
+    leaves score as exact-match constants via the docs table, which the
+    pruned executor does not cover — admitting them would silently drop
+    their contribution from the top-k (rank-safety violation), so any
+    non-text leaf disqualifies the plan.  ``None`` (shape-only callers,
+    e.g. unit tests over the all-text default schema) skips the check.
     """
     if plan.spec is None:
         return False
     if not plan.leaves or any(l.kind != "term" for l in plan.leaves):
+        return False
+    if is_text is not None and not all(is_text(l.field) for l in plan.leaves):
         return False
 
     def pure_sum(node: dict) -> bool:

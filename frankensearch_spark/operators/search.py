@@ -277,7 +277,7 @@ class SearchEngine:
             engage = (
                 select_strategy(self, plan) is not None
                 if prune == "auto"
-                else pruned_applicable(plan)
+                else pruned_applicable(plan, is_text=self._is_text)
             )
             if engage:
                 scored = PrunedExecutor(self).execute(plan, limit + offset)

@@ -71,6 +71,9 @@ class _StubEngine:
     def _resolve_doc_freqs(self, leaves):
         pass  # dfs preloaded
 
+    def _is_text(self, field):
+        return True  # DEFAULT_SCHEMA plans: every field is a text field
+
 
 def _plan(text):
     parser = q.DefaultQueryParser(q.DEFAULT_SCHEMA)
@@ -166,6 +169,29 @@ def test_pruned_k_larger_than_matches(built):
     exhaustive = built.search("w9000 w9100", limit=500, prune=False).hits
     pruned = built.search("w9000 w9100", limit=500, prune=True).hits
     assert list(pruned["docid"]) == list(exhaustive["docid"])
+
+
+def test_mixed_keyword_query_not_pruned(built):
+    """A disjunction containing a keyword-field term leaf must refuse the
+    pruned plan: the executor scores only text leaves, so admitting the
+    plan would silently drop the keyword leaf's exact-match contribution
+    from the top-k (review finding, round 3).
+    """
+    eng = built.engine
+    plan = compile_query(q.canonicalize_query(eng._parse("w3 w47 role:user")))
+    # shape-only check admits it; the field-type check must reject it
+    assert pruned_applicable(plan)
+    assert not pruned_applicable(plan, is_text=eng._is_text)
+    assert select_strategy(eng, plan) is None
+    # forced prune falls back to the exhaustive plan: identical results,
+    # keyword contribution intact
+    exhaustive = built.search("w3 w47 role:user", limit=10, prune=False).hits
+    forced = built.search("w3 w47 role:user", limit=10, prune=True).hits
+    assert list(forced["docid"]) == list(exhaustive["docid"])
+    assert np.array_equal(
+        np.asarray(forced["score"], dtype=np.float32),
+        np.asarray(exhaustive["score"], dtype=np.float32),
+    )
 
 
 def test_pruned_equals_exhaustive_after_delete(built):
