@@ -90,7 +90,10 @@ class IndexMaintenance:
         return self.delete_frame(ids)
 
     def delete_frame(
-        self, ids: DataFrame, generation: Optional[int] = None
+        self,
+        ids: DataFrame,
+        generation: Optional[int] = None,
+        include_unsealed: bool = False,
     ) -> int:
         """Tombstone live docs matching ``ids`` (a doc_id frame) — fully
         distributed: identity resolution is a join against the docs table
@@ -100,11 +103,14 @@ class IndexMaintenance:
         they become visible; default = the CURRENT generation (immediately
         visible to newly-opened readers).  Upsert passes the NEXT
         generation so its deletes stay invisible until its own manifest
-        append (atomic replace).
+        append (atomic replace), and ``include_unsealed=True`` so copies
+        in still-pending unsealed segments are tombstoned too (an
+        upsert-over-pending-upsert must not leave two live copies after
+        seal).
         """
         if generation is None:
             generation = self.storage.current_generation()
-        live = self.storage.live_segments()
+        live = self.storage.live_segments(include_unsealed=include_unsealed)
         docs = (
             self.storage.read("docs")
             .where(F.col("segment_id").isin(live))
@@ -112,8 +118,16 @@ class IndexMaintenance:
             .select("segment_id", "docid")
         )
         if self.storage.table_exists("tombstones"):
+            # dedup against rows already visible at (or before) the target
+            # generation only: a tombstone staged by a PENDING unsealed
+            # batch (higher, not-yet-active generation) must not suppress
+            # an immediately-visible delete of the same docid — duplicate
+            # docids across generations are fine (readers take distinct)
+            prior = self.storage.read("tombstones")
+            if "generation" in prior.columns:
+                prior = prior.where(F.col("generation") <= int(generation))
             docs = docs.join(
-                self.storage.read("tombstones").select("docid"),
+                prior.select("docid"),
                 on="docid",
                 how="left_anti",
             )
@@ -178,7 +192,10 @@ class IndexMaintenance:
         from .build import content_hash_expr
 
         batch = df.withColumn("_chash", content_hash_expr(self.meta, df))
-        live_segs = self.storage.live_segments()
+        # pending unsealed copies count as live for dedup/replacement: an
+        # upsert over a not-yet-sealed upsert of the same doc_id must
+        # tombstone the pending copy too, or seal() publishes duplicates
+        live_segs = self.storage.live_segments(include_unsealed=True)
         changed = batch
         if live_segs and self.storage.table_exists("docs"):
             docs = self.storage.read("docs").where(
@@ -203,13 +220,20 @@ class IndexMaintenance:
         try:
             if changed.isEmpty():
                 return []
-            gen_next = self.storage.current_generation() + 1
+            # UNIQUE across sealed AND pending-unsealed commits: if a
+            # sealed commit reused a pending batch's generation, a reader
+            # pinning the sealed generation would activate the pending
+            # batch's staged tombstones without its segments (docs vanish
+            # until seal) — see storage.unsealed_generations
+            gen_next = self.storage.current_generation(include_unsealed=True) + 1
             docid_base, segment_base = self.storage.next_bases()
             self.meta.generation = gen_next
 
             def stage_tombstones():
                 self.delete_frame(
-                    changed.select("doc_id"), generation=gen_next
+                    changed.select("doc_id"),
+                    generation=gen_next,
+                    include_unsealed=True,
                 )
 
             segments = append_segment_batch(
@@ -229,8 +253,10 @@ class IndexMaintenance:
             else:
                 # the committed generation stays put: the staged
                 # gen_next tombstones and the unsealed rows become
-                # meaningful together at seal()
-                self.meta.generation = gen_next - 1
+                # meaningful together at seal().  NOT gen_next - 1: with
+                # unique generations across pending batches, gen_next - 1
+                # may itself be another pending unsealed generation
+                self.meta.generation = self.storage.current_generation()
             return segments
         finally:
             changed.unpersist()
@@ -695,6 +721,10 @@ class IndexMaintenance:
         """
         srcs = sorted(mapping)
         out_segs = sorted(set(mapping.values()))
+        # unique across pending unsealed batches too — reusing a pending
+        # generation would activate its staged tombstones without its
+        # segments for readers pinning this commit (see upsert)
+        gen_next = self.storage.current_generation(include_unsealed=True) + 1
         # Docid watermark preservation: if the tombstoned docs held a
         # segment's min/max docid, recomputing the range from survivors
         # would SHRINK docid_hi — and next_bases() would re-mint
@@ -722,7 +752,7 @@ class IndexMaintenance:
             (F.max("docid") + F.lit(1)).alias("live_hi"),
             F.count("*").alias("doc_count"),
         ).select(
-            F.lit(self.meta.generation + 1).alias("generation"),
+            F.lit(gen_next).alias("generation"),
             "segment_id",
             F.least("live_lo", lo_map[F.col("segment_id")]).alias("docid_lo"),
             F.greatest("live_hi", hi_map[F.col("segment_id")]).alias("docid_hi"),
@@ -736,7 +766,6 @@ class IndexMaintenance:
         # keep resolving their exact segment set until gc() expires the
         # history.  Default readers filter superseded_at IS NULL, so the
         # visible state is byte-identical to the old drop.
-        gen_next = self.meta.generation + 1
         man = self.storage.read("manifest")
         if "superseded_at" not in man.columns:
             man = man.withColumn("superseded_at", F.lit(None).cast("long"))
@@ -769,8 +798,5 @@ class IndexMaintenance:
                 "segment_id", seg_map[F.col("segment_id")]
             )
             self.storage.atomic_rewrite("tombstones", tombs.unionByName(moved))
-        self._bump_generation()
-
-    def _bump_generation(self) -> None:
-        self.meta.generation += 1
+        self.meta.generation = gen_next
         self.storage.write_meta(self.meta)

@@ -144,7 +144,9 @@ class SearchEngine:
             else self.storage.current_generation(include_unsealed=include_unsealed)
         )
         self._tombstones, self._tombstone_count = self.storage.pinned_tombstones(
-            self.generation, live_segments=self.live_segments
+            self.generation,
+            live_segments=self.live_segments,
+            include_unsealed=include_unsealed,
         )
         #: Force-broadcast the tombstone anti-join only up to this many
         #: tombstoned docids (sources.storage.TOMBSTONE_BROADCAST_MAX);

@@ -334,7 +334,31 @@ class IndexStorage:
         row = man.agg(F.max("generation").alias("g")).collect()[0]
         return int(row["g"] or 0)
 
-    def pinned_tombstones(self, generation: int, live_segments=None):
+    def unsealed_generations(self) -> set[int]:
+        """Generations with pending (unsealed) manifest rows.
+
+        Mutation protocols allocate every commit — sealed or unsealed — a
+        UNIQUE generation (``current_generation(include_unsealed=True)+1``),
+        so a generation in this set belongs entirely to one pending batch:
+        its staged tombstones must stay inactive for default readers even
+        when a later sealed commit advances the committed generation past
+        it (the tombstone-without-replacement race).  ``seal()`` empties
+        the set, activating those tombstones together with their segments.
+        """
+        if not self.table_exists("manifest"):
+            return set()
+        rows = (
+            self.read("manifest")
+            .where("status = 'unsealed'")
+            .select("generation")
+            .distinct()
+            .collect()
+        )
+        return {int(r["generation"]) for r in rows}
+
+    def pinned_tombstones(
+        self, generation: int, live_segments=None, include_unsealed: bool = False
+    ):
         """Tombstoned docids visible at ``generation``, pinned to the
         tombstone files present right now (snapshot isolation for deletes:
         tombstones appended after this call are invisible to the caller,
@@ -364,6 +388,15 @@ class IndexStorage:
         df = self.spark.read.parquet(*files)
         if "generation" in df.columns:
             df = df.where(F.col("generation") <= generation)
+            if not include_unsealed:
+                # tombstones staged by a still-unsealed batch activate only
+                # at seal(), together with their replacement segments — a
+                # later sealed commit advancing the pinned generation past
+                # the pending one must not activate them early (docs would
+                # vanish without their replacements)
+                pending = self.unsealed_generations()
+                if pending:
+                    df = df.where(~F.col("generation").isin(sorted(pending)))
         if live_segments is not None and "segment_id" in df.columns:
             df = df.where(F.col("segment_id").isin(list(live_segments)))
         df = df.select("docid").distinct().persist()

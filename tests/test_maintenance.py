@@ -374,3 +374,74 @@ def test_unsealed_delta_visibility(spark, tmp_path_factory):
     assert list(after.search("replaced").hits["doc_id"]) == ["a"]
     # idempotent: nothing left to seal
     assert LexicalIndex(spark, d).maintenance.seal() == []
+
+
+def test_sealed_commit_does_not_activate_pending_tombstones(spark, tmp_path_factory):
+    """A sealed upsert committed while another batch is pending unsealed
+    must not activate the pending batch's staged tombstones (review
+    finding, round 3): generations are unique per commit and readers
+    ignore tombstone generations that are still unsealed, so the pending
+    doc's OLD version stays visible until seal()."""
+    d = str(tmp_path_factory.mktemp("race_ix"))
+    base = spark.createDataFrame(
+        [("a", "alpha original text"), ("b", "bravo original text")],
+        "doc_id string, content string",
+    )
+    ix = LexicalIndex(spark, d).build(
+        base, text_fields=("content",), sort_cols=("doc_id",),
+        num_segments=1, num_buckets=4,
+    )
+    ix.maintenance.upsert(
+        spark.createDataFrame(
+            [("a", "alpha replaced text")], "doc_id string, content string"
+        ),
+        sort_cols=("doc_id",),
+        seal=False,
+    )
+    # sealed commit lands while a's replacement is still pending
+    ix.maintenance.upsert(
+        spark.createDataFrame(
+            [("b", "bravo updated text")], "doc_id string, content string"
+        ),
+        sort_cols=("doc_id",),
+        seal=True,
+    )
+    committed = LexicalIndex(spark, d)
+    # b's sealed replacement is visible...
+    assert list(committed.search("updated").hits["doc_id"]) == ["b"]
+    # ...and a did NOT vanish: its old version stays until seal()
+    assert list(committed.search("original").hits["doc_id"]) == ["a"]
+    assert list(committed.search("alpha").hits["doc_id"]) == ["a"]
+    LexicalIndex(spark, d).maintenance.seal()
+    after = LexicalIndex(spark, d)
+    assert list(after.search("replaced").hits["doc_id"]) == ["a"]
+    assert list(after.search("original").hits["doc_id"]) == []
+    assert sorted(after.search("text", limit=10).hits["doc_id"]) == ["a", "b"]
+
+
+def test_upsert_over_pending_upsert_single_copy(spark, tmp_path_factory):
+    """Two unsealed upserts of the same doc_id must converge to ONE live
+    copy after seal(): the second upsert tombstones the pending unsealed
+    copy too, not just the committed one (review finding, round 3)."""
+    d = str(tmp_path_factory.mktemp("dup_ix"))
+    base = spark.createDataFrame(
+        [("x", "xray version one")], "doc_id string, content string"
+    )
+    ix = LexicalIndex(spark, d).build(
+        base, text_fields=("content",), sort_cols=("doc_id",),
+        num_segments=1, num_buckets=4,
+    )
+    for body in ("xray version two", "xray version three"):
+        ix.maintenance.upsert(
+            spark.createDataFrame([("x", body)], "doc_id string, content string"),
+            sort_cols=("doc_id",),
+            seal=False,
+        )
+        # a dirty reader sees exactly one live copy at every point
+        dirty = LexicalIndex(spark, d, include_unsealed=True)
+        assert list(dirty.search("xray", limit=10).hits["doc_id"]) == ["x"]
+    LexicalIndex(spark, d).maintenance.seal()
+    after = LexicalIndex(spark, d)
+    assert list(after.search("xray", limit=10).hits["doc_id"]) == ["x"]
+    assert list(after.search("three", limit=10).hits["doc_id"]) == ["x"]
+    assert list(after.search("two", limit=10).hits["doc_id"]) == []
