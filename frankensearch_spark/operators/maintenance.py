@@ -300,10 +300,16 @@ class IndexMaintenance:
         live = self.storage.live_segments()
         if not self.storage.table_exists("tombstones"):
             return {s: 0.0 for s in live}
+        tombs = self.storage.read("tombstones")
+        # pending (unsealed-batch) rows are not reclaimable space — the
+        # fold excludes them, so counting them would trigger rewrites
+        # that reclaim nothing
+        pending = sorted(self.storage.unsealed_generations())
+        if pending and "generation" in tombs.columns:
+            tombs = tombs.where(~F.col("generation").isin(pending))
         counts = {
             r["segment_id"]: r["n"]
-            for r in self.storage.read("tombstones")
-            .groupBy("segment_id")
+            for r in tombs.groupBy("segment_id")
             .agg(F.count("*").alias("n"))
             .collect()
         }
@@ -585,12 +591,20 @@ class IndexMaintenance:
         # tombstones can match their rows — restricting the dead set first
         # keeps it proportional to the segments being rewritten, not the
         # whole index's delete history.
-        dead = (
-            self.storage.read("tombstones")
-            .where(F.col("segment_id").isin(srcs))
-            .select("docid")
-            .persist()
+        tombs = self.storage.read("tombstones").where(
+            F.col("segment_id").isin(srcs)
         )
+        # fold only ACTIVE tombstones: rows staged by a still-unsealed
+        # batch activate at seal() together with their replacement
+        # segments — folding them here would drop the old copy while the
+        # new one is still invisible (the read-path race, re-entered
+        # through compaction).  _publish_supersede remaps the excluded
+        # pending rows onto the output segment so the delete still lands
+        # at seal().
+        pending = sorted(self.storage.unsealed_generations())
+        if pending and "generation" in tombs.columns:
+            tombs = tombs.where(~F.col("generation").isin(pending))
+        dead = tombs.select("docid").persist()
         n_dead = dead.count()
         dead_side = (
             F.broadcast(dead) if n_dead <= self.tombstone_broadcast_max else dead
@@ -780,11 +794,32 @@ class IndexMaintenance:
             "superseded_at", F.lit(None).cast("long")
         )
         self.storage.atomic_rewrite("manifest", manifest.unionByName(new_rows))
-        # Tombstones need NO fold rewrite: a row whose segment is no longer
-        # live is definitionally folded (compaction removed its docids
-        # physically), and readers scope the pinned set to their live
-        # segments — the row lingers only for time-travel readers pinned
-        # before this supersede, and gc() expires it with the history.
+        # Folded (active) tombstones need NO rewrite: a row whose segment
+        # is no longer live is definitionally folded (compaction removed
+        # its docids physically), and readers scope the pinned set to
+        # their live segments — the row lingers only for time-travel
+        # readers pinned before this supersede, and gc() expires it with
+        # the history.  PENDING rows (staged by a still-unsealed batch)
+        # were excluded from the fold, so they must follow their docids to
+        # the output segment — stranded on the superseded source id they
+        # would be liveness-scoped out after seal() and the delete lost
+        # (two live copies).  Copies, not moves: dirty readers pinned
+        # before this supersede still resolve the source ids.
+        if fold_tombstones and self.storage.table_exists("tombstones"):
+            pending = sorted(self.storage.unsealed_generations())
+            tombs = self.storage.read("tombstones")
+            if pending and "generation" in tombs.columns:
+                seg_map = F.create_map(
+                    *[F.lit(x) for pair in mapping.items() for x in pair]
+                )
+                moved = tombs.where(
+                    F.col("segment_id").isin(srcs)
+                    & F.col("generation").isin(pending)
+                ).withColumn("segment_id", seg_map[F.col("segment_id")])
+                if not moved.isEmpty():
+                    self.storage.atomic_rewrite(
+                        "tombstones", tombs.unionByName(moved)
+                    )
         if remap_tombstones and self.storage.table_exists("tombstones"):
             # merge carries unfolded tombstones over to the output segment
             # ids — as COPIES, so readers pinned before the merge still

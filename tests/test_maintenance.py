@@ -445,3 +445,47 @@ def test_upsert_over_pending_upsert_single_copy(spark, tmp_path_factory):
     assert list(after.search("xray", limit=10).hits["doc_id"]) == ["x"]
     assert list(after.search("three", limit=10).hits["doc_id"]) == ["x"]
     assert list(after.search("two", limit=10).hits["doc_id"]) == []
+
+
+def test_compact_during_pending_upsert(spark, tmp_path_factory):
+    """Compaction while an upsert is pending unsealed must neither fold the
+    pending batch's staged tombstones (the old doc would vanish before its
+    replacement seals) nor strand them on the superseded segment (the
+    delete would be lost at seal — two live copies).  Pending tombstones
+    are excluded from the physical fold and remapped to the output
+    segment (review finding, round 3)."""
+    d = str(tmp_path_factory.mktemp("cpix"))
+    base = spark.createDataFrame(
+        [("a", "alpha original text"), ("b", "bravo filler text"),
+         ("c", "carol filler text")],
+        "doc_id string, content string",
+    )
+    ix = LexicalIndex(spark, d).build(
+        base, text_fields=("content",), sort_cols=("doc_id",),
+        num_segments=1, num_buckets=4,
+    )
+    # a's replacement is staged but NOT sealed
+    ix.maintenance.upsert(
+        spark.createDataFrame(
+            [("a", "alpha replaced text")], "doc_id string, content string"
+        ),
+        sort_cols=("doc_id",),
+        seal=False,
+    )
+    # a sealed delete pushes the committed segment over the density bar
+    assert ix.maintenance.delete(["b"]) == 1
+    mapping = ix.maintenance.compact(max_density=0.3)
+    assert mapping, "the committed segment must have been compacted"
+    mid = LexicalIndex(spark, d)
+    # b is gone (its active tombstone folded)...
+    assert list(mid.search("bravo").hits["doc_id"]) == []
+    # ...but a did NOT vanish: its pending tombstone must not fold early
+    assert list(mid.search("original").hits["doc_id"]) == ["a"]
+    assert list(mid.search("alpha").hits["doc_id"]) == ["a"]
+    LexicalIndex(spark, d).maintenance.seal()
+    after = LexicalIndex(spark, d)
+    # the delete was not lost in the rewrite: exactly one live copy of a
+    assert list(after.search("alpha", limit=10).hits["doc_id"]) == ["a"]
+    assert list(after.search("replaced").hits["doc_id"]) == ["a"]
+    assert list(after.search("original").hits["doc_id"]) == []
+    assert sorted(after.search("text", limit=10).hits["doc_id"]) == ["a", "c"]
