@@ -118,14 +118,30 @@ class IndexMaintenance:
             .select("segment_id", "docid")
         )
         if self.storage.table_exists("tombstones"):
-            # dedup against rows already visible at (or before) the target
+            # dedup against rows ACTIVE at (or before) the target
             # generation only: a tombstone staged by a PENDING unsealed
-            # batch (higher, not-yet-active generation) must not suppress
-            # an immediately-visible delete of the same docid — duplicate
-            # docids across generations are fine (readers take distinct)
+            # batch must not suppress an immediately-visible delete of the
+            # same docid (its staged generation may sit BELOW the current
+            # sealed one — generations are allocated across pending
+            # batches too), and neither must a row whose batch sealed at a
+            # later activation.  An upsert staging its own tombstones
+            # (include_unsealed=True) keeps deduping against pending rows:
+            # those docids die at seal regardless.  Duplicate docids
+            # across generations are fine — readers take distinct.
             prior = self.storage.read("tombstones")
             if "generation" in prior.columns:
                 prior = prior.where(F.col("generation") <= int(generation))
+                if not include_unsealed:
+                    inactive = sorted(self.storage.unsealed_generations())
+                    inactive += [
+                        g
+                        for g, act in self.storage.activation_overrides().items()
+                        if act > int(generation)
+                    ]
+                    if inactive:
+                        prior = prior.where(
+                            ~F.col("generation").isin(sorted(set(inactive)))
+                        )
             docs = docs.join(
                 prior.select("docid"),
                 on="docid",
@@ -282,7 +298,21 @@ class IndexMaintenance:
         ]
         if not pending:
             return []
+        # Activation happens at a FRESH generation (snapshot immutability:
+        # VERSION AS OF g means the same thing before and after this
+        # seal).  The staged generation stays on the rows as the batch
+        # identity — ``sealed_at`` is the generation at which the batch
+        # (segments AND its staged tombstones) becomes visible; readers
+        # use coalesce(sealed_at, generation) as the effective generation.
+        gen_next = self.storage.current_generation(include_unsealed=True) + 1
+        if "sealed_at" not in man.columns:
+            man = man.withColumn("sealed_at", F.lit(None).cast("long"))
         flipped = man.withColumn(
+            "sealed_at",
+            F.when(
+                F.col("status") == "unsealed", F.lit(gen_next).cast("long")
+            ).otherwise(F.col("sealed_at")),
+        ).withColumn(
             "status",
             F.when(F.col("status") == "unsealed", F.lit("sealed")).otherwise(
                 F.col("status")
@@ -793,7 +823,12 @@ class IndexMaintenance:
         new_rows = new_rows.withColumn(
             "superseded_at", F.lit(None).cast("long")
         )
-        self.storage.atomic_rewrite("manifest", manifest.unionByName(new_rows))
+        # allowMissingColumns: the manifest may carry sealed_at (added by
+        # seal()); supersede outputs are sealed directly, so theirs is null
+        self.storage.atomic_rewrite(
+            "manifest",
+            manifest.unionByName(new_rows, allowMissingColumns=True),
+        )
         # Folded (active) tombstones need NO rewrite: a row whose segment
         # is no longer live is definitionally folded (compaction removed
         # its docids physically), and readers scope the pinned set to

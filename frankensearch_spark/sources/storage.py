@@ -298,9 +298,18 @@ class IndexStorage:
         )
         if at_generation is not None:
             g = int(at_generation)
+            # effective generation: a batch sealed by seal() became
+            # visible at sealed_at, not at its staged generation — a
+            # snapshot pinned between the staging and the seal must not
+            # change contents when seal later runs
+            eff = (
+                F.coalesce(F.col("sealed_at"), F.col("generation"))
+                if "sealed_at" in man.columns
+                else F.col("generation")
+            )
             rows = man.where(
                 (F.col("status") == "sealed")
-                & (F.col("generation") <= g)
+                & (eff <= g)
                 & (sup.isNull() | (sup > g))
             )
         else:
@@ -331,7 +340,18 @@ class IndexStorage:
         man = self.read("manifest")
         if not include_unsealed:
             man = man.where("status = 'sealed'")
-        row = man.agg(F.max("generation").alias("g")).collect()[0]
+        # a batch sealed by seal() keeps its staged generation as identity
+        # but became visible at sealed_at — the published generation is
+        # the max EFFECTIVE generation, or seal() would not advance it
+        eff = (
+            F.greatest(
+                F.col("generation"),
+                F.coalesce(F.col("sealed_at"), F.col("generation")),
+            )
+            if "sealed_at" in man.columns
+            else F.col("generation")
+        )
+        row = man.agg(F.max(eff).alias("g")).collect()[0]
         return int(row["g"] or 0)
 
     def unsealed_generations(self) -> set[int]:
@@ -355,6 +375,31 @@ class IndexStorage:
             .collect()
         )
         return {int(r["generation"]) for r in rows}
+
+    def activation_overrides(self) -> dict[int, int]:
+        """Staged generation → activation generation, for batches that
+        went through seal() (``sealed_at != generation``).
+
+        A tombstone row tagged with a staged generation activates at the
+        batch's ``sealed_at``, not at the staged number — readers pinned
+        between the staging and the seal must keep seeing the old doc
+        (snapshot immutability).  Empty when no seal() has ever run.
+        """
+        if not self.table_exists("manifest"):
+            return {}
+        man = self.read("manifest")
+        if "sealed_at" not in man.columns:
+            return {}
+        rows = (
+            man.where(
+                F.col("sealed_at").isNotNull()
+                & (F.col("sealed_at") != F.col("generation"))
+            )
+            .select("generation", "sealed_at")
+            .distinct()
+            .collect()
+        )
+        return {int(r["generation"]): int(r["sealed_at"]) for r in rows}
 
     def pinned_tombstones(
         self, generation: int, live_segments=None, include_unsealed: bool = False
@@ -397,6 +442,17 @@ class IndexStorage:
                 pending = self.unsealed_generations()
                 if pending:
                     df = df.where(~F.col("generation").isin(sorted(pending)))
+            # batches already sealed by seal() activate at sealed_at: a
+            # row whose staged generation passed the <= filter above may
+            # still be in this reader's future (snapshot immutability
+            # across seal)
+            late = sorted(
+                g
+                for g, act in self.activation_overrides().items()
+                if act > generation
+            )
+            if late:
+                df = df.where(~F.col("generation").isin(late))
         if live_segments is not None and "segment_id" in df.columns:
             df = df.where(F.col("segment_id").isin(list(live_segments)))
         df = df.select("docid").distinct().persist()

@@ -125,3 +125,92 @@ def test_future_generation_rejected(spark, tmp_path_factory):
     idx, d = _build(spark, tmp_path_factory, "tt_future")
     with pytest.raises(ValueError, match="future"):
         LexicalIndex(spark, d, at_generation=99).engine
+
+
+def test_snapshot_immutable_across_seal(spark, tmp_path_factory):
+    """VERSION AS OF g must mean the same thing before and after seal():
+    sealing a pending batch activates it at a FRESH generation, never
+    retroactively inside an already-published one (review finding,
+    round 3).  Before the fix, seal() flipped status while keeping the
+    staged generation, so a snapshot pinned between the staging and the
+    seal silently changed contents once seal ran."""
+    d = str(tmp_path_factory.mktemp("imm_ix"))
+    base = spark.createDataFrame(
+        [("a", "alpha original text"), ("b", "bravo original text")],
+        "doc_id string, content string",
+    )
+    ix = LexicalIndex(spark, d).build(
+        base, text_fields=("content",), sort_cols=("doc_id",),
+        num_segments=1, num_buckets=4,
+    )
+    # staged (unsealed) replacement of a at some pending generation
+    ix.maintenance.upsert(
+        spark.createDataFrame(
+            [("a", "alpha replaced text")], "doc_id string, content string"
+        ),
+        sort_cols=("doc_id",),
+        seal=False,
+    )
+    # a sealed commit advances the committed generation past the pending one
+    ix.maintenance.upsert(
+        spark.createDataFrame(
+            [("b", "bravo updated text")], "doc_id string, content string"
+        ),
+        sort_cols=("doc_id",),
+        seal=True,
+    )
+    g = LexicalIndex(spark, d).engine.generation
+    before = _doc_ids(LexicalIndex(spark, d, at_generation=g), "original")
+    assert before == ["a"], "pre-seal: a's old version is the visible one"
+    sealed = LexicalIndex(spark, d).maintenance.seal()
+    assert sealed, "one pending segment sealed"
+    # the SAME snapshot must still read the pre-seal state...
+    assert _doc_ids(LexicalIndex(spark, d, at_generation=g), "original") == ["a"]
+    assert _doc_ids(LexicalIndex(spark, d, at_generation=g), "replaced") == []
+    # ...and the seal landed at a NEW generation holding the replacement
+    after = LexicalIndex(spark, d)
+    assert after.engine.generation > g
+    assert _doc_ids(after, "replaced") == ["a"]
+    assert _doc_ids(after, "original") == []
+
+
+def test_immediate_delete_not_suppressed_by_pending_tombstone(
+    spark, tmp_path_factory
+):
+    """A plain delete must take effect NOW even when a pending unsealed
+    upsert already staged a tombstone for the same doc at a LOWER
+    generation (review finding, round 3): the staged row is inactive
+    until seal, so it must not dedup-suppress the immediate delete."""
+    d = str(tmp_path_factory.mktemp("sup_ix"))
+    base = spark.createDataFrame(
+        [("a", "alpha original text"), ("b", "bravo original text")],
+        "doc_id string, content string",
+    )
+    ix = LexicalIndex(spark, d).build(
+        base, text_fields=("content",), sort_cols=("doc_id",),
+        num_segments=1, num_buckets=4,
+    )
+    # pending replacement stages a tombstone for a at generation g0+1
+    ix.maintenance.upsert(
+        spark.createDataFrame(
+            [("a", "alpha replaced text")], "doc_id string, content string"
+        ),
+        sort_cols=("doc_id",),
+        seal=False,
+    )
+    # a sealed commit advances the committed generation PAST the staged one
+    ix.maintenance.upsert(
+        spark.createDataFrame(
+            [("b", "bravo updated text")], "doc_id string, content string"
+        ),
+        sort_cols=("doc_id",),
+        seal=True,
+    )
+    # the immediate delete must land (not be suppressed by the staged row)
+    assert ix.maintenance.delete(["a"]) == 1
+    assert _doc_ids(LexicalIndex(spark, d), "alpha") == []
+    # commit-order semantics: the pending upsert seals LATER, so its
+    # replacement resurfaces a — last writer wins
+    LexicalIndex(spark, d).maintenance.seal()
+    assert _doc_ids(LexicalIndex(spark, d), "alpha") == ["a"]
+    assert _doc_ids(LexicalIndex(spark, d), "replaced") == ["a"]
