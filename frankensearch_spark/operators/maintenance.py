@@ -823,12 +823,13 @@ class IndexMaintenance:
         new_rows = new_rows.withColumn(
             "superseded_at", F.lit(None).cast("long")
         )
-        # allowMissingColumns: the manifest may carry sealed_at (added by
-        # seal()); supersede outputs are sealed directly, so theirs is null
-        self.storage.atomic_rewrite(
-            "manifest",
-            manifest.unionByName(new_rows, allowMissingColumns=True),
-        )
+        # Tombstone carry-over runs BEFORE the manifest swap: copies keyed
+        # to the not-yet-live output ids are invisible until the swap (the
+        # crash-safe order — swapping first would open a window where a
+        # crash strands the rows on the superseded source ids, losing the
+        # deletes).  A replay after a pre-swap crash re-mints the same
+        # output ids, so dropDuplicates keeps the rewrite idempotent.
+        #
         # Folded (active) tombstones need NO rewrite: a row whose segment
         # is no longer live is definitionally folded (compaction removed
         # its docids physically), and readers scope the pinned set to
@@ -840,33 +841,36 @@ class IndexMaintenance:
         # would be liveness-scoped out after seal() and the delete lost
         # (two live copies).  Copies, not moves: dirty readers pinned
         # before this supersede still resolve the source ids.
-        if fold_tombstones and self.storage.table_exists("tombstones"):
-            pending = sorted(self.storage.unsealed_generations())
-            tombs = self.storage.read("tombstones")
-            if pending and "generation" in tombs.columns:
-                seg_map = F.create_map(
-                    *[F.lit(x) for pair in mapping.items() for x in pair]
-                )
-                moved = tombs.where(
-                    F.col("segment_id").isin(srcs)
-                    & F.col("generation").isin(pending)
-                ).withColumn("segment_id", seg_map[F.col("segment_id")])
-                if not moved.isEmpty():
-                    self.storage.atomic_rewrite(
-                        "tombstones", tombs.unionByName(moved)
-                    )
-        if remap_tombstones and self.storage.table_exists("tombstones"):
-            # merge carries unfolded tombstones over to the output segment
-            # ids — as COPIES, so readers pinned before the merge still
-            # resolve the rows under the source ids (their live set); each
-            # reader's liveness scoping picks exactly one copy
+        if self.storage.table_exists("tombstones"):
             seg_map = F.create_map(
                 *[F.lit(x) for pair in mapping.items() for x in pair]
             )
             tombs = self.storage.read("tombstones")
-            moved = tombs.where(F.col("segment_id").isin(srcs)).withColumn(
-                "segment_id", seg_map[F.col("segment_id")]
-            )
-            self.storage.atomic_rewrite("tombstones", tombs.unionByName(moved))
+            moved = None
+            if remap_tombstones:
+                # merge carries ALL unfolded tombstones over to the output
+                # segment ids; each reader's liveness scoping picks
+                # exactly one copy
+                moved = tombs.where(F.col("segment_id").isin(srcs)).withColumn(
+                    "segment_id", seg_map[F.col("segment_id")]
+                )
+            elif fold_tombstones:
+                pending = sorted(self.storage.unsealed_generations())
+                if pending and "generation" in tombs.columns:
+                    moved = tombs.where(
+                        F.col("segment_id").isin(srcs)
+                        & F.col("generation").isin(pending)
+                    ).withColumn("segment_id", seg_map[F.col("segment_id")])
+            if moved is not None and not moved.isEmpty():
+                self.storage.atomic_rewrite(
+                    "tombstones",
+                    tombs.unionByName(moved).dropDuplicates(),
+                )
+        # allowMissingColumns: the manifest may carry sealed_at (added by
+        # seal()); supersede outputs are sealed directly, so theirs is null
+        self.storage.atomic_rewrite(
+            "manifest",
+            manifest.unionByName(new_rows, allowMissingColumns=True),
+        )
         self.meta.generation = gen_next
         self.storage.write_meta(self.meta)
