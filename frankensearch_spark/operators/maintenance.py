@@ -108,8 +108,9 @@ class IndexMaintenance:
         upsert-over-pending-upsert must not leave two live copies after
         seal).
         """
+        state = self.storage.generation_state()
         if generation is None:
-            generation = self.storage.current_generation()
+            generation = state.current()
         live = self.storage.live_segments(include_unsealed=include_unsealed)
         docs = (
             self.storage.read("docs")
@@ -132,10 +133,9 @@ class IndexMaintenance:
             if "generation" in prior.columns:
                 prior = prior.where(F.col("generation") <= int(generation))
                 if not include_unsealed:
-                    inactive = sorted(self.storage.unsealed_generations())
-                    inactive += [
+                    inactive = list(state.unsealed) + [
                         g
-                        for g, act in self.storage.activation_overrides().items()
+                        for g, act in state.overrides.items()
                         if act > int(generation)
                     ]
                     if inactive:
@@ -768,7 +768,8 @@ class IndexMaintenance:
         # unique across pending unsealed batches too — reusing a pending
         # generation would activate its staged tombstones without its
         # segments for readers pinning this commit (see upsert)
-        gen_next = self.storage.current_generation(include_unsealed=True) + 1
+        gen_state = self.storage.generation_state()
+        gen_next = gen_state.any_gen + 1
         # Docid watermark preservation: if the tombstoned docs held a
         # segment's min/max docid, recomputing the range from survivors
         # would SHRINK docid_hi — and next_bases() would re-mint
@@ -855,7 +856,7 @@ class IndexMaintenance:
                     "segment_id", seg_map[F.col("segment_id")]
                 )
             elif fold_tombstones:
-                pending = sorted(self.storage.unsealed_generations())
+                pending = sorted(gen_state.unsealed)
                 if pending and "generation" in tombs.columns:
                     moved = tombs.where(
                         F.col("segment_id").isin(srcs)

@@ -116,9 +116,14 @@ class SearchEngine:
         # the segment set as of that generation, until gc() expires the
         # history (meta.history_floor records the expiry point so stale
         # opens fail loudly instead of reading vanished files).
+        # one manifest read+collect answers every open-time question:
+        # the live-segment pin, the published watermark, the pending set,
+        # and the activation overrides
+        snapshot = self.storage.manifest_snapshot()
+        gen_state = self.storage.state_from_snapshot(snapshot)
         if at_generation is not None:
             at_generation = int(at_generation)
-            current = self.storage.current_generation()
+            current = gen_state.current()
             if at_generation > current:
                 raise ValueError(
                     f"at_generation={at_generation} is in the future "
@@ -129,8 +134,10 @@ class SearchEngine:
                     f"at_generation={at_generation} was expired by gc() "
                     f"(history floor {self.meta.history_floor})"
                 )
-        self.live_segments = self.storage.live_segments(
-            include_unsealed=include_unsealed, at_generation=at_generation
+        self.live_segments = self.storage.live_from_snapshot(
+            snapshot,
+            include_unsealed=include_unsealed,
+            at_generation=at_generation,
         )
         # Tombstones are pinned alongside the segment set: the engine
         # captures (a) the manifest generation and (b) the tombstone files
@@ -141,12 +148,13 @@ class SearchEngine:
         self.generation = (
             at_generation
             if at_generation is not None
-            else self.storage.current_generation(include_unsealed=include_unsealed)
+            else gen_state.current(include_unsealed=include_unsealed)
         )
         self._tombstones, self._tombstone_count = self.storage.pinned_tombstones(
             self.generation,
             live_segments=self.live_segments,
             include_unsealed=include_unsealed,
+            gen_state=gen_state,
         )
         #: Force-broadcast the tombstone anti-join only up to this many
         #: tombstoned docids (sources.storage.TOMBSTONE_BROADCAST_MAX);

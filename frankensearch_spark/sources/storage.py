@@ -54,6 +54,32 @@ INDEX_META = "index_meta.json"
 TOMBSTONE_BROADCAST_MAX = 10_000_000
 
 
+@dataclass(frozen=True)
+class GenerationState:
+    """One-job snapshot of the manifest's generation bookkeeping.
+
+    Everything the visibility protocol needs, derived from a single
+    ``select(generation, sealed_at, status).distinct()`` collect —
+    O(commits) rows, never O(segments) — instead of one manifest job per
+    question (current generation, pending set, activation overrides).
+    """
+
+    #: max EFFECTIVE generation over sealed rows (0 when none) — the
+    #: published watermark default readers pin
+    sealed_gen: int
+    #: max effective generation over ALL rows (pending batches included) —
+    #: the uniqueness watermark mutation protocols mint from
+    any_gen: int
+    #: staged generations with pending (unsealed) manifest rows
+    unsealed: frozenset
+    #: staged generation → sealed_at activation, for batches sealed by
+    #: seal() (see IndexStorage.activation_overrides)
+    overrides: dict
+
+    def current(self, include_unsealed: bool = False) -> int:
+        return self.any_gen if include_unsealed else self.sealed_gen
+
+
 @dataclass
 class IndexMeta:
     text_fields: list[str]
@@ -287,37 +313,51 @@ class IndexStorage:
         :meth:`~frankensearch_spark.operators.maintenance.Maintenance.gc`
         expires it.
         """
-        if not self.table_exists("manifest"):
-            return []
-        man = self.read("manifest")
-        sup = (
-            F.col("superseded_at")
-            if "superseded_at" in man.columns
-            # legacy manifests predate history retention: nothing is marked
-            else F.lit(None).cast("long")
+        return self.live_from_snapshot(
+            self.manifest_snapshot(),
+            include_unsealed=include_unsealed,
+            at_generation=at_generation,
         )
-        if at_generation is not None:
-            g = int(at_generation)
-            # effective generation: a batch sealed by seal() became
-            # visible at sealed_at, not at its staged generation — a
-            # snapshot pinned between the staging and the seal must not
-            # change contents when seal later runs
-            eff = (
-                F.coalesce(F.col("sealed_at"), F.col("generation"))
-                if "sealed_at" in man.columns
-                else F.col("generation")
-            )
-            rows = man.where(
-                (F.col("status") == "sealed")
-                & (eff <= g)
-                & (sup.isNull() | (sup > g))
-            )
-        else:
-            statuses = ("sealed", "unsealed") if include_unsealed else ("sealed",)
-            rows = man.where(F.col("status").isin(*statuses) & sup.isNull())
-        return sorted(
-            r["segment_id"] for r in rows.select("segment_id").distinct().collect()
-        )
+
+    @staticmethod
+    def live_from_snapshot(
+        rows: list,
+        include_unsealed: bool = False,
+        at_generation: int | None = None,
+    ) -> list[int]:
+        """Liveness over :meth:`manifest_snapshot` rows (one code path for
+        every reader).
+
+        Effective generation: a batch sealed by seal() became visible at
+        ``sealed_at``, not at its staged generation — a snapshot pinned
+        between the staging and the seal must not change contents when
+        seal later runs.  Legacy manifests predate history retention /
+        seal activation: the snapshot surfaces those columns as NULL,
+        which reads as never-superseded / sealed-at-staging, the correct
+        legacy meaning.
+        """
+        out: set[int] = set()
+        for r in rows:
+            sup = r["superseded_at"]
+            if at_generation is not None:
+                g = int(at_generation)
+                eff = (
+                    int(r["generation"])
+                    if r["sealed_at"] is None
+                    else int(r["sealed_at"])
+                )
+                if (
+                    r["status"] == "sealed"
+                    and eff <= g
+                    and (sup is None or int(sup) > g)
+                ):
+                    out.add(int(r["segment_id"]))
+            elif sup is None and (
+                r["status"] == "sealed"
+                or (include_unsealed and r["status"] == "unsealed")
+            ):
+                out.add(int(r["segment_id"]))
+        return sorted(out)
 
     def current_generation(self, include_unsealed: bool = False) -> int:
         """Highest published manifest generation (0 when no manifest).
@@ -335,24 +375,72 @@ class IndexStorage:
         activate without their replacement segments.  ``include_unsealed``
         readers opt into exactly that next generation.
         """
+        return self.generation_state().current(include_unsealed)
+
+    def manifest_snapshot(self) -> list:
+        """One manifest read+collect serving every open-time question.
+
+        Returns deduped rows of (segment_id, generation, sealed_at,
+        status, superseded_at) — O(segments) driver rows, the same shape
+        :meth:`live_segments` already pins; sharing one collect avoids
+        the per-read schema-merge jobs the manifest's mergeSchema read
+        costs (engine open asks for the live set AND the generation
+        state, and each separate read is ~3 Spark jobs).
+        """
         if not self.table_exists("manifest"):
-            return 0
+            return []
         man = self.read("manifest")
-        if not include_unsealed:
-            man = man.where("status = 'sealed'")
-        # a batch sealed by seal() keeps its staged generation as identity
-        # but became visible at sealed_at — the published generation is
-        # the max EFFECTIVE generation, or seal() would not advance it
-        eff = (
-            F.greatest(
-                F.col("generation"),
-                F.coalesce(F.col("sealed_at"), F.col("generation")),
-            )
+        sa = (
+            F.col("sealed_at")
             if "sealed_at" in man.columns
-            else F.col("generation")
+            else F.lit(None).cast("long")
         )
-        row = man.agg(F.max(eff).alias("g")).collect()[0]
-        return int(row["g"] or 0)
+        sup = (
+            F.col("superseded_at")
+            if "superseded_at" in man.columns
+            else F.lit(None).cast("long")
+        )
+        return (
+            man.select(
+                F.col("segment_id"),
+                F.col("generation"),
+                sa.alias("sealed_at"),
+                F.col("status"),
+                sup.alias("superseded_at"),
+            )
+            .dropDuplicates()
+            .collect()
+        )
+
+    @staticmethod
+    def state_from_snapshot(rows: list) -> GenerationState:
+        """Derive the generation bookkeeping from :meth:`manifest_snapshot`.
+
+        A batch sealed by seal() keeps its staged generation as identity
+        but became visible at ``sealed_at`` — the effective generation is
+        ``greatest(generation, coalesce(sealed_at, generation))``, so the
+        published watermark advances at seal and VERSION AS OF snapshots
+        pinned before it stay immutable.
+        """
+        sealed_gen = any_gen = 0
+        unsealed: set[int] = set()
+        overrides: dict[int, int] = {}
+        for r in rows:
+            g = int(r["generation"])
+            act = None if r["sealed_at"] is None else int(r["sealed_at"])
+            eff = g if act is None else max(g, act)
+            any_gen = max(any_gen, eff)
+            if r["status"] == "sealed":
+                sealed_gen = max(sealed_gen, eff)
+            else:
+                unsealed.add(g)
+            if act is not None and act != g:
+                overrides[g] = act
+        return GenerationState(sealed_gen, any_gen, frozenset(unsealed), overrides)
+
+    def generation_state(self) -> GenerationState:
+        """All generation bookkeeping from ONE manifest job."""
+        return self.state_from_snapshot(self.manifest_snapshot())
 
     def unsealed_generations(self) -> set[int]:
         """Generations with pending (unsealed) manifest rows.
@@ -365,16 +453,7 @@ class IndexStorage:
         it (the tombstone-without-replacement race).  ``seal()`` empties
         the set, activating those tombstones together with their segments.
         """
-        if not self.table_exists("manifest"):
-            return set()
-        rows = (
-            self.read("manifest")
-            .where("status = 'unsealed'")
-            .select("generation")
-            .distinct()
-            .collect()
-        )
-        return {int(r["generation"]) for r in rows}
+        return set(self.generation_state().unsealed)
 
     def activation_overrides(self) -> dict[int, int]:
         """Staged generation → activation generation, for batches that
@@ -385,24 +464,14 @@ class IndexStorage:
         between the staging and the seal must keep seeing the old doc
         (snapshot immutability).  Empty when no seal() has ever run.
         """
-        if not self.table_exists("manifest"):
-            return {}
-        man = self.read("manifest")
-        if "sealed_at" not in man.columns:
-            return {}
-        rows = (
-            man.where(
-                F.col("sealed_at").isNotNull()
-                & (F.col("sealed_at") != F.col("generation"))
-            )
-            .select("generation", "sealed_at")
-            .distinct()
-            .collect()
-        )
-        return {int(r["generation"]): int(r["sealed_at"]) for r in rows}
+        return dict(self.generation_state().overrides)
 
     def pinned_tombstones(
-        self, generation: int, live_segments=None, include_unsealed: bool = False
+        self,
+        generation: int,
+        live_segments=None,
+        include_unsealed: bool = False,
+        gen_state: GenerationState | None = None,
     ):
         """Tombstoned docids visible at ``generation``, pinned to the
         tombstone files present right now (snapshot isolation for deletes:
@@ -432,6 +501,7 @@ class IndexStorage:
             return None, 0
         df = self.spark.read.parquet(*files)
         if "generation" in df.columns:
+            state = gen_state if gen_state is not None else self.generation_state()
             df = df.where(F.col("generation") <= generation)
             if not include_unsealed:
                 # tombstones staged by a still-unsealed batch activate only
@@ -439,17 +509,16 @@ class IndexStorage:
                 # later sealed commit advancing the pinned generation past
                 # the pending one must not activate them early (docs would
                 # vanish without their replacements)
-                pending = self.unsealed_generations()
-                if pending:
-                    df = df.where(~F.col("generation").isin(sorted(pending)))
+                if state.unsealed:
+                    df = df.where(
+                        ~F.col("generation").isin(sorted(state.unsealed))
+                    )
             # batches already sealed by seal() activate at sealed_at: a
             # row whose staged generation passed the <= filter above may
             # still be in this reader's future (snapshot immutability
             # across seal)
             late = sorted(
-                g
-                for g, act in self.activation_overrides().items()
-                if act > generation
+                g for g, act in state.overrides.items() if act > generation
             )
             if late:
                 df = df.where(~F.col("generation").isin(late))
