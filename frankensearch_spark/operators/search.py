@@ -91,6 +91,16 @@ class SearchEngine:
         query_fuel_budget: int = fuel.DEFAULT_QUERY_FUEL_BUDGET,
         at_generation: Optional[int] = None,
     ):
+        if at_generation is not None and include_unsealed:
+            # a past snapshot is sealed-only by definition; combining it
+            # with dirty reads would activate pending tombstones WITHOUT
+            # their replacement segments (the at-generation liveness
+            # branch never admits unsealed rows) — refuse loudly instead
+            # of returning a state no commit ever published
+            raise ValueError(
+                "at_generation cannot be combined with include_unsealed: "
+                "a time-travel snapshot reads committed state only"
+            )
         #: coarse work admission budget (reference config.rs query_fuel_budget);
         #: validated like the reference config (zero budgets are rejected)
         self.query_fuel_budget = fuel.validate_budget(query_fuel_budget)

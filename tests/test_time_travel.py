@@ -214,3 +214,14 @@ def test_immediate_delete_not_suppressed_by_pending_tombstone(
     LexicalIndex(spark, d).maintenance.seal()
     assert _doc_ids(LexicalIndex(spark, d), "alpha") == ["a"]
     assert _doc_ids(LexicalIndex(spark, d), "replaced") == ["a"]
+
+
+def test_time_travel_refuses_dirty_reads(spark, tmp_path_factory):
+    """at_generation + include_unsealed is refused: a past snapshot is
+    committed state only — admitting pending tombstones without their
+    replacement segments would fabricate a state no commit published."""
+    idx, d = _build(spark, tmp_path_factory, "dirty_tt", n=10, segs=1)
+    with pytest.raises(ValueError, match="include_unsealed"):
+        LexicalIndex(
+            spark, d, at_generation=1, include_unsealed=True
+        ).engine
