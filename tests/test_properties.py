@@ -156,3 +156,98 @@ def test_boolean_or_is_union_of_terms(texts, terms):
             if docid in s:
                 acc = np.float32(acc + s[docid])
         assert hits[docid] == acc
+
+
+# ── manifest snapshot laws (visibility protocol kernels) ─────────────────
+
+manifest_row = st.fixed_dictionaries(
+    {
+        "segment_id": st.integers(0, 30),
+        "generation": st.integers(1, 20),
+        "status": st.sampled_from(["sealed", "unsealed"]),
+        "sealed_at": st.one_of(st.none(), st.integers(1, 40)),
+        "superseded_at": st.one_of(st.none(), st.integers(1, 40)),
+    }
+)
+manifests = st.lists(manifest_row, min_size=0, max_size=40).map(
+    # pending rows have no activation yet, by construction of seal()
+    lambda rows: [
+        {**r, "sealed_at": None} if r["status"] == "unsealed" else r
+        for r in rows
+    ]
+)
+
+
+@given(manifests)
+@settings(max_examples=200, deadline=None)
+def test_snapshot_laws_default_liveness(rows):
+    from frankensearch_spark.sources.storage import IndexStorage
+
+    live = IndexStorage.live_from_snapshot(rows)
+    dirty = IndexStorage.live_from_snapshot(rows, include_unsealed=True)
+    # default readers never see unsealed-only segments; dirty is a superset
+    assert set(live) <= set(dirty)
+    unsealed_only = {
+        r["segment_id"]
+        for r in rows
+        if r["status"] == "unsealed" and r["superseded_at"] is None
+    } - {
+        r["segment_id"]
+        for r in rows
+        if r["status"] == "sealed" and r["superseded_at"] is None
+    }
+    assert not (unsealed_only & set(live))
+    # superseded-everywhere segments are gone from both
+    gone = {r["segment_id"] for r in rows} - {
+        r["segment_id"] for r in rows if r["superseded_at"] is None
+    }
+    assert not (gone & set(dirty))
+
+
+@given(manifests)
+@settings(max_examples=200, deadline=None)
+def test_snapshot_laws_seal_immutability(rows):
+    """Applying seal() (flip pending rows to sealed at a FRESH activation)
+    must not change any snapshot pinned at or below the pre-seal
+    watermark — the invariant the sealed_at scheme exists for."""
+    from frankensearch_spark.sources.storage import IndexStorage
+
+    state = IndexStorage.state_from_snapshot(rows)
+    act = state.any_gen + 1  # what seal() mints
+    sealed_rows = [
+        {**r, "status": "sealed", "sealed_at": act}
+        if r["status"] == "unsealed"
+        else r
+        for r in rows
+    ]
+    for g in range(0, state.any_gen + 1):
+        assert IndexStorage.live_from_snapshot(
+            rows, at_generation=g
+        ) == IndexStorage.live_from_snapshot(sealed_rows, at_generation=g)
+    # and the seal advanced the published watermark iff something sealed
+    new_state = IndexStorage.state_from_snapshot(sealed_rows)
+    if state.unsealed:
+        assert new_state.sealed_gen == act
+        assert not new_state.unsealed
+    else:
+        assert new_state.sealed_gen == state.sealed_gen
+
+
+@given(manifests)
+@settings(max_examples=200, deadline=None)
+def test_snapshot_laws_watermarks(rows):
+    from frankensearch_spark.sources.storage import IndexStorage
+
+    state = IndexStorage.state_from_snapshot(rows)
+    assert state.sealed_gen <= state.any_gen
+    # every pending generation is invisible to the sealed watermark
+    for r in rows:
+        if r["status"] == "sealed":
+            eff = max(
+                r["generation"],
+                r["sealed_at"] if r["sealed_at"] is not None else 0,
+            )
+            assert eff <= state.sealed_gen
+    # overrides only record true reactivations
+    for g, a in state.overrides.items():
+        assert a != g
