@@ -569,12 +569,21 @@ class IndexMaintenance:
         silently reading vanished files).  Returns removed paths.  Safe
         only when no reader is pinned to an older manifest.
 
-        ``expire_history=False`` removes nothing and keeps time travel
-        intact: superseded segments stay on disk precisely because
-        history rows still reference them.
+        ``expire_history=False`` keeps time travel intact — superseded
+        segments stay on disk precisely because history rows still
+        reference them — but still sweeps crash orphans: segment
+        directories whose id appears in NO manifest row at all (live,
+        superseded, or unsealed) are unreachable by every reader
+        including time travel (e.g. a ``_rewrite_segments`` output whose
+        ``_publish_supersede`` never ran; a replay re-mints the same ids
+        and rewrites via dynamic partition overwrite, so removing the
+        partial output is always safe).
         """
         if not expire_history:
-            return []
+            referenced = {
+                int(r["segment_id"]) for r in self.storage.manifest_snapshot()
+            }
+            return self._sweep_segment_dirs(keep=referenced)
         # unsealed segments are pending, not garbage: their seal() must
         # still find the data dirs
         keep = set(self.storage.live_segments(include_unsealed=True))
@@ -591,9 +600,19 @@ class IndexMaintenance:
             kept = tombs.where(F.col("segment_id").isin(sorted(keep)))
             self.storage.atomic_rewrite("tombstones", kept)
         floor = self.storage.current_generation()
+        # Re-read meta immediately before the floor write: this instance's
+        # construction-time snapshot may be stale (another maintenance
+        # instance/process can have advanced generation since), and
+        # write_meta persists the WHOLE dataclass — writing the stale copy
+        # would regress on-disk fields to the old snapshot.
+        self.meta = self.storage.read_meta()
         if floor > self.meta.history_floor:
             self.meta.history_floor = floor
             self.storage.write_meta(self.meta)
+        return self._sweep_segment_dirs(keep=keep)
+
+    def _sweep_segment_dirs(self, keep: set) -> list[str]:
+        """Remove segment partition directories not in ``keep``."""
         removed = []
         for table in ("docs", "doclens", "postings", "terms"):  # terms: legacy dirs only
             root = self.storage.path(table)
@@ -776,10 +795,11 @@ class IndexMaintenance:
         # previously-assigned docids, violating the monotone/never-reused
         # invariant (argus.rs:32).  The output segment keeps the full
         # docid span its sources owned.
+        # no dropDuplicates: replay remnants may carry differing spans for
+        # one segment; the min/max fold below covers the union of them all
         src_spans = (
             self.storage.read("manifest")
             .where(F.col("segment_id").isin(srcs))
-            .dropDuplicates(["segment_id"])
             .select("segment_id", "docid_lo", "docid_hi")
             .collect()
         )
@@ -820,7 +840,22 @@ class IndexMaintenance:
                 F.col("segment_id").isin(srcs) & F.col("superseded_at").isNull(),
                 F.lit(gen_next).cast("long"),
             ).otherwise(F.col("superseded_at")),
-        ).dropDuplicates(["segment_id", "superseded_at"])
+        )
+        # Deterministic dedup: crash-replay appends can leave two rows for
+        # one (segment, superseded_at) differing in generation/docid span;
+        # dropDuplicates would keep an ARBITRARY one, which could shift the
+        # segment's effective generation for at_generation readers and the
+        # watermarks next_bases() derives.  Keep the max-generation row
+        # (ties broken by the widest docid span — the replay that saw the
+        # most data).
+        w_dedup = Window.partitionBy("segment_id", "superseded_at").orderBy(
+            F.desc("generation"), F.desc("docid_hi"), F.asc("docid_lo")
+        )
+        manifest = (
+            manifest.withColumn("_rn", F.row_number().over(w_dedup))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         new_rows = new_rows.withColumn(
             "superseded_at", F.lit(None).cast("long")
         )

@@ -200,6 +200,10 @@ class SearchEngine:
         )
         tokens: dict[str, int] = {r["field"]: int(r["tokens"] or 0) for r in stats}
         self.doc_count = int(max((r["docs"] for r in stats), default=0))
+        #: per-field snapshot token totals; an upper bound on the field's
+        #: Σ_t df_t (each (doc, term) posting pair consumes ≥1 token),
+        #: used to tighten the fuel estimator's pessimistic glob bound
+        self.field_tokens = dict(tokens)
         self.avgdl = {
             f: (tokens.get(f, 0) / self.doc_count if self.doc_count else 0.0)
             for f in self.meta.text_fields
@@ -636,8 +640,12 @@ class SearchEngine:
                 return []  # keyword glob scans the docs table
             return self._glob_cache.get((leaf.field, leaf.pattern))
 
+        def field_postings(field: str) -> Optional[int]:
+            return self.field_tokens.get(field)
+
         args = (len(self.live_segments), self.doc_count, df_of, glob_expansion)
-        units, exact = fuel.estimate_fuel(plan, *args)
+        kw = dict(field_postings_of=field_postings)
+        units, exact = fuel.estimate_fuel(plan, *args, **kw)
         if units <= self.query_fuel_budget:
             self.last_fuel_units = units
             return units
@@ -655,7 +663,7 @@ class SearchEngine:
             pairs -= set(self._doc_freq_cache)
             if pairs:
                 self._doc_freqs(sorted(pairs))
-            units, _ = fuel.estimate_fuel(plan, *args)
+            units, _ = fuel.estimate_fuel(plan, *args, **kw)
             if units <= self.query_fuel_budget:
                 self.last_fuel_units = units
                 return units

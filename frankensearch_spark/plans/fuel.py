@@ -83,6 +83,7 @@ def estimate_fuel(
     doc_count: int,
     df_of: Callable[[LeafSpec], Optional[int]],
     glob_expansion: Callable[[LeafSpec], Optional[list]],
+    field_postings_of: Optional[Callable[[str], Optional[int]]] = None,
 ) -> tuple[int, bool]:
     """Coarse work units for one compiled plan.
 
@@ -90,8 +91,20 @@ def estimate_fuel(
     when unresolved (the pessimistic pass substitutes ``doc_count``).
     ``glob_expansion`` returns ``[(term, df), ...]`` for a text glob leaf,
     or ``None`` when the expansion has not been computed yet (pessimistic:
-    one full-dictionary worst case).  Returns ``(units, exact)`` where
-    ``exact`` is False iff any unknown was bounded pessimistically.
+    one full-dictionary worst case).  ``field_postings_of`` optionally
+    returns an upper bound on the field's total (doc, term) posting pairs
+    (the engine passes its snapshot token totals — ``Σ_t df_t`` per field
+    can never exceed the field's token count), tightening the pessimistic
+    glob bound on small fields without ever under-charging.  Returns
+    ``(units, exact)`` where ``exact`` is False iff any unknown was
+    bounded pessimistically.
+
+    Invariant (pinned by ``test_fuel``): for the same snapshot, the
+    pessimistic estimate DOMINATES the exact estimate — resolving a df or
+    a glob expansion can only lower the charge, never raise it, so a
+    query admitted on exact numbers is also admitted cold, and the
+    documented "deterministic upper bound" claim holds for every leaf
+    kind including globs.
     """
     units = 0
     exact = True
@@ -118,12 +131,28 @@ def estimate_fuel(
         elif leaf.kind == "glob":
             expansion = glob_expansion(leaf)
             if expansion is None:
-                # worst case before expansion: the full dictionary scan
-                # touches every term's dictionary block once, and the
-                # capped expansion could decode every posting
+                # Worst case before expansion — a TRUE upper bound on the
+                # exact charge: up to EXPANSION_LIMIT dictionary terms,
+                # each of which can carry df up to doc_count, so the
+                # posting-block charge is LIMIT × blocks(doc_count).  When
+                # the field's total posting pairs are known (Σ_t df_t ≤
+                # field token count), Σ_t blocks(df_t) ≤ blocks(total) +
+                # LIMIT tightens that without under-charging.  An
+                # adversarial wide glob therefore overflows this pass and
+                # pays the one expansion job its execution would pay
+                # anyway, where the exact estimate decides admission.
                 from . import glob as _glob
 
-                units += _glob.DEFAULT_GLOB_EXPANSION_LIMIT + _blocks(doc_count) + seg
+                limit = _glob.DEFAULT_GLOB_EXPANSION_LIMIT
+                per_term_blocks = limit * _blocks(doc_count)
+                total = (
+                    field_postings_of(leaf.field)
+                    if field_postings_of is not None
+                    else None
+                )
+                if total is not None:
+                    per_term_blocks = min(per_term_blocks, _blocks(total) + limit)
+                units += limit + per_term_blocks + seg
                 exact = False
             else:
                 units += len(expansion) + seg

@@ -169,3 +169,98 @@ def test_fuel_estimate_is_deterministic(built):
 def test_zero_budget_rejected_at_open(built, spark):
     with pytest.raises(ValueError, match="query_fuel_budget"):
         _ = LexicalIndex(spark, built.index_dir, query_fuel_budget=0).engine
+
+
+# ── glob bound soundness (round-4 fix: pessimistic must dominate exact) ────
+
+
+def test_unresolved_glob_bound_dominates_worst_case_exact():
+    """The cold (unresolved) glob charge must be >= the exact charge for
+    EVERY possible expansion — including the adversarial one the old
+    formula waved through (16,384 terms, each df = doc_count)."""
+    from frankensearch_spark.plans import glob as globmod
+
+    leaf = LeafSpec(leaf_id=0, kind="glob", field="content", pattern="w*")
+    n, seg = 10**9, 4
+    limit = globmod.DEFAULT_GLOB_EXPANSION_LIMIT
+    pessimistic, exact_flag = fuel.estimate_fuel(
+        _plan(leaf), n_segments=seg, doc_count=n,
+        df_of=lambda l: None, glob_expansion=lambda l: None,
+    )
+    assert exact_flag is False
+    worst = [(f"t{i}", n) for i in range(limit)]
+    exact, exact_flag2 = fuel.estimate_fuel(
+        _plan(leaf), n_segments=seg, doc_count=n,
+        df_of=lambda l: None, glob_expansion=lambda l: worst,
+    )
+    assert exact_flag2 is True
+    assert pessimistic >= exact  # the documented upper-bound invariant
+
+
+def test_field_postings_cap_tightens_without_undercharging():
+    """Σ_t df_t is bounded by the field's posting pairs; passing that
+    statistic tightens the cold bound but never below a feasible exact
+    charge (every feasible expansion satisfies Σ df_i <= total)."""
+    leaf = LeafSpec(leaf_id=0, kind="glob", field="content", pattern="w*")
+    n, seg, total = 10**9, 2, 500_000
+    loose, _ = fuel.estimate_fuel(
+        _plan(leaf), n_segments=seg, doc_count=n,
+        df_of=lambda l: None, glob_expansion=lambda l: None,
+    )
+    capped, _ = fuel.estimate_fuel(
+        _plan(leaf), n_segments=seg, doc_count=n,
+        df_of=lambda l: None, glob_expansion=lambda l: None,
+        field_postings_of=lambda f: total,
+    )
+    assert capped < loose
+    # feasible expansion under the cap: k terms summing to `total`
+    feasible = [(f"t{i}", total // 100) for i in range(100)]
+    exact, _ = fuel.estimate_fuel(
+        _plan(leaf), n_segments=seg, doc_count=n,
+        df_of=lambda l: None, glob_expansion=lambda l: feasible,
+    )
+    assert capped >= exact
+
+
+def test_adversarial_glob_is_rejected_not_admitted(built, spark):
+    """A wide-expansion glob whose exact estimate exceeds the budget must
+    raise QueryFuelExhausted — the old pessimistic formula admitted it
+    cold (the admission gate failed open for exactly this query class)."""
+    engine = built.engine
+    seg = len(engine.live_segments)
+    # 'unique*' expands to ~300 terms of df=1: exact ≈ 300 + seg + 300
+    budget = 50
+    tight = LexicalIndex(spark, built.index_dir, query_fuel_budget=budget)
+    with pytest.raises(fuel.QueryFuelExhausted) as exc:
+        tight.search("content:unique*", limit=5)
+    assert exc.value.budget == budget
+    assert exc.value.consumed > budget
+    # the same engine still admits a narrow glob (exact pass, not a ban)
+    hits = tight.search("content:unique7*", limit=20).hits
+    assert len(hits) >= 1
+
+
+def test_cached_expansion_never_flips_admission(built, spark):
+    """'Bound only tightens': a glob admitted cold must stay admitted once
+    its expansion is cached by an earlier query (the round-3 formula broke
+    this — cold pessimistic could sit BELOW the cached exact charge)."""
+    eng = LexicalIndex(spark, built.index_dir).engine
+    plan_leaf = LeafSpec(leaf_id=0, kind="glob", field="content", pattern="w*")
+    plan = _plan(plan_leaf)
+
+    def run_estimate():
+        return fuel.estimate_fuel(
+            plan,
+            len(eng.live_segments),
+            eng.doc_count,
+            lambda l: eng._doc_freq_cache.get((l.field, l.term)),
+            lambda l: eng._glob_cache.get((l.field, l.pattern)),
+            field_postings_of=lambda f: eng.field_tokens.get(f),
+        )
+
+    cold, cold_exact = run_estimate()
+    assert cold_exact is False
+    eng._expand_glob_with_df("content", "w*")  # cache the expansion
+    warm, warm_exact = run_estimate()
+    assert warm_exact is True
+    assert warm <= cold

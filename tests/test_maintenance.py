@@ -489,3 +489,99 @@ def test_compact_during_pending_upsert(spark, tmp_path_factory):
     assert list(after.search("replaced").hits["doc_id"]) == ["a"]
     assert list(after.search("original").hits["doc_id"]) == []
     assert sorted(after.search("text", limit=10).hits["doc_id"]) == ["a", "c"]
+
+
+def test_gc_without_expiry_sweeps_crash_orphans(spark, tmp_path_factory):
+    """gc(expire_history=False) must still reclaim segment dirs referenced
+    by NO manifest row (a _rewrite_segments output whose publish never
+    ran) while leaving time-travel history readable (round-4 ADVICE)."""
+    import os
+
+    from frankensearch_spark.sources.transcripts import synthetic_transcripts
+
+    d = str(tmp_path_factory.mktemp("gc_orphan_ix"))
+    corpus = synthetic_transcripts(spark, 300, vocab_size=100)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=2, num_buckets=4)
+    before = _hits(idx, "the")
+    segs = idx.storage.live_segments()
+    idx.maintenance.concat_merge(segs)  # creates superseded history rows
+    # fabricate a crash orphan: a partial rewrite output with no manifest row
+    orphans = []
+    for table in ("docs", "postings"):
+        p = os.path.join(idx.storage.path(table), "segment_id=999")
+        os.makedirs(p, exist_ok=True)
+        orphans.append(p)
+    removed = idx.maintenance.gc(expire_history=False)
+    assert sorted(removed) == sorted(orphans)
+    for p in orphans:
+        assert not os.path.exists(p)
+    # superseded (history) segment dirs survive and time travel still reads
+    past = LexicalIndex(spark, d, at_generation=1)
+    assert _hits(past, "the") == before
+    # and the current generation is untouched
+    idx.reopen()
+    assert _hits(idx, "the") == before
+
+
+def test_gc_refreshes_meta_before_floor_write(spark, tmp_path_factory):
+    """gc() must not regress on-disk meta written by OTHER maintenance
+    instances since this one was constructed (round-4 ADVICE): the
+    history_floor write re-reads meta instead of persisting the stale
+    construction-time snapshot."""
+    from frankensearch_spark.operators.maintenance import IndexMaintenance
+    from frankensearch_spark.sources.transcripts import synthetic_transcripts
+
+    d = str(tmp_path_factory.mktemp("gc_stale_meta_ix"))
+    corpus = synthetic_transcripts(spark, 200, vocab_size=100)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=2, num_buckets=4)
+    stale = IndexMaintenance(spark, d)  # snapshot at generation 1
+    # another instance advances the index
+    fresh = IndexMaintenance(spark, d)
+    fresh.upsert(
+        spark.createDataFrame(
+            [("zz:0", "zz", 0, "user", None, "brand new doc")],
+            "doc_id string, conv_id string, turn_idx long, role string, "
+            "tool string, content string",
+        ),
+        sort_cols=("conv_id", "turn_idx"),
+    )
+    gen_after_upsert = stale.storage.current_generation()
+    assert gen_after_upsert == 2
+    stale.gc()  # must NOT write generation=1 meta back to disk
+    meta = stale.storage.read_meta()
+    assert meta.generation == gen_after_upsert
+    assert meta.history_floor == gen_after_upsert
+
+
+def test_supersede_dedup_is_deterministic_max_generation(spark, tmp_path_factory):
+    """Crash-replay can leave two manifest rows for one segment (both
+    superseded_at NULL) differing in generation/docid span; the supersede
+    rewrite must keep the MAX-generation row deterministically, not an
+    arbitrary dropDuplicates pick (round-4 ADVICE)."""
+    from frankensearch_spark.sources.transcripts import synthetic_transcripts
+
+    d = str(tmp_path_factory.mktemp("dedup_ix"))
+    corpus = synthetic_transcripts(spark, 300, vocab_size=100)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=2, num_buckets=4)
+    segs = idx.storage.live_segments()
+    victim = segs[0]
+    man = idx.storage.read("manifest")
+    # simulate a replay remnant: a second row for `victim` at a LOWER
+    # generation with a narrower docid span
+    dup = man.where(F.col("segment_id") == victim).withColumn(
+        "generation", F.lit(0).cast(man.schema["generation"].dataType.simpleString())
+    ).withColumn("docid_hi", F.col("docid_lo") + 1)
+    idx.storage.write_table(dup, "manifest", "append", coalesce=1)
+    out = idx.maintenance.concat_merge(segs)
+    rows = (
+        idx.storage.read("manifest")
+        .where(F.col("segment_id") == victim)
+        .collect()
+    )
+    assert len(rows) == 1  # one row per (segment, superseded_at)
+    # the max-generation replay row won, with its full docid span
+    assert int(rows[0]["generation"]) == 1
+    assert int(rows[0]["docid_hi"]) > int(rows[0]["docid_lo"]) + 1
+    # and the merge output serves identical results
+    idx.reopen()
+    assert idx.storage.live_segments() == [out]
