@@ -309,6 +309,10 @@ def write_segment_tables(
     if pre_publish is not None:
         pre_publish()
     _write_manifest(seg, storage, meta, sm_mode, status=manifest_status)
+    # commit-time open-state rollup: engines open with zero Spark jobs
+    # (sources/storage.py OPEN_STATE); written after the manifest append
+    # so a crash here only leaves a stale-fingerprint file (safe fallback)
+    storage.write_open_state()
 
 
 # ── step 1+2: docid assignment + tokenization ──────────────────────────────

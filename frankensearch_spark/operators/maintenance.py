@@ -94,6 +94,7 @@ class IndexMaintenance:
         ids: DataFrame,
         generation: Optional[int] = None,
         include_unsealed: bool = False,
+        refresh_open_state: bool = True,
     ) -> int:
         """Tombstone live docs matching ``ids`` (a doc_id frame) — fully
         distributed: identity resolution is a join against the docs table
@@ -155,7 +156,17 @@ class IndexMaintenance:
         try:
             n = docs.count()  # stays distributed — no driver materialization
             if n:
-                self.storage.write_table(docs, "tombstones", "append", coalesce=1)
+                # file count sized to the batch: interactive deletes stay
+                # single-file, bulk deletes write in parallel (the
+                # single-writer task was the round-3 scale bottleneck)
+                nf = self.storage.tombstone_file_count(n)
+                out = docs.coalesce(1) if nf == 1 else docs.repartition(nf, "docid")
+                self.storage.write_table(out, "tombstones", "append")
+                # upsert stages its tombstones mid-protocol (pre_publish):
+                # its own manifest append refreshes the open state right
+                # after, so skip the redundant rollup there
+                if refresh_open_state:
+                    self.storage.write_open_state()
             return int(n)
         finally:
             docs.unpersist()
@@ -250,6 +261,7 @@ class IndexMaintenance:
                     changed.select("doc_id"),
                     generation=gen_next,
                     include_unsealed=True,
+                    refresh_open_state=False,
                 )
 
             segments = append_segment_batch(
@@ -321,6 +333,7 @@ class IndexMaintenance:
         self.storage.atomic_rewrite("manifest", flipped)
         self.meta.generation = self.storage.current_generation()
         self.storage.write_meta(self.meta)
+        self.storage.write_open_state()
         return sorted(pending)
 
     # ── compaction ────────────────────────────────────────────────────────
@@ -598,7 +611,7 @@ class IndexMaintenance:
         if self.storage.table_exists("tombstones"):
             tombs = self.storage.read("tombstones")
             kept = tombs.where(F.col("segment_id").isin(sorted(keep)))
-            self.storage.atomic_rewrite("tombstones", kept)
+            self.storage.rewrite_tombstones(kept)
         floor = self.storage.current_generation()
         # Re-read meta immediately before the floor write: this instance's
         # construction-time snapshot may be stale (another maintenance
@@ -609,7 +622,10 @@ class IndexMaintenance:
         if floor > self.meta.history_floor:
             self.meta.history_floor = floor
             self.storage.write_meta(self.meta)
-        return self._sweep_segment_dirs(keep=keep)
+        removed = self._sweep_segment_dirs(keep=keep)
+        # the manifest/tombstone rewrites above changed the fingerprint
+        self.storage.write_open_state()
+        return removed
 
     def _sweep_segment_dirs(self, keep: set) -> list[str]:
         """Remove segment partition directories not in ``keep``."""
@@ -898,9 +914,8 @@ class IndexMaintenance:
                         & F.col("generation").isin(pending)
                     ).withColumn("segment_id", seg_map[F.col("segment_id")])
             if moved is not None and not moved.isEmpty():
-                self.storage.atomic_rewrite(
-                    "tombstones",
-                    tombs.unionByName(moved).dropDuplicates(),
+                self.storage.rewrite_tombstones(
+                    tombs.unionByName(moved).dropDuplicates()
                 )
         # allowMissingColumns: the manifest may carry sealed_at (added by
         # seal()); supersede outputs are sealed directly, so theirs is null
@@ -910,3 +925,4 @@ class IndexMaintenance:
         )
         self.meta.generation = gen_next
         self.storage.write_meta(self.meta)
+        self.storage.write_open_state()

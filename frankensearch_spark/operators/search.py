@@ -29,7 +29,6 @@ survey), re-expressed as one declarative DataFrame plan:
 from __future__ import annotations
 
 from collections import OrderedDict
-from contextlib import contextmanager, nullcontext
 from dataclasses import dataclass
 from typing import Iterator, Optional, Sequence
 
@@ -65,6 +64,16 @@ from ..sources.storage import TOMBSTONE_BROADCAST_MAX, IndexStorage
 #: InSet (scan-pushed); wider ones switch to a broadcast semi-join so the
 #: plan stays O(1) in expansion size.
 GLOB_ISIN_MAX = 256
+
+#: Pin the live-segment set with a literal ``isin`` only up to this many
+#: segments (static partition pruning, the common case: compaction/merge
+#: keep live counts low).  Past it, EVERY query plan would embed an
+#: O(segments) literal list — at 10^5 live segments that bloats plan
+#: construction, analysis, and codegen.  The big-set form is a broadcast
+#: semi-join against a liveness frame: O(1) plan size, hash probe per
+#: row, and dynamic partition pruning still prunes the scan's
+#: segment_id=K directories at runtime.
+SEGMENT_PIN_ISIN_MAX = 1024
 
 
 @dataclass
@@ -126,11 +135,23 @@ class SearchEngine:
         # the segment set as of that generation, until gc() expires the
         # history (meta.history_floor records the expiry point so stale
         # opens fail loudly instead of reading vanished files).
-        # one manifest read+collect answers every open-time question:
-        # the live-segment pin, the published watermark, the pending set,
-        # and the activation overrides
-        snapshot = self.storage.manifest_snapshot()
+        # Cold open (QG-9 analogue, reference keeper open ≤50 ms): the
+        # commit-time open_state rollup answers every open-time question
+        # from ONE driver-side JSON read — manifest snapshot rows, the
+        # default-view stats rollup, the tombstone count — so opening an
+        # index with a valid (fingerprint-matching) open_state issues
+        # ZERO Spark actions.  Legacy/stale indexes fall back to the same
+        # one-collect manifest snapshot + Spark rollups as before.
+        open_state = self.storage.read_open_state()
+        if open_state is not None:
+            snapshot = open_state["manifest_rows"]
+        else:
+            snapshot = self.storage.manifest_snapshot()
         gen_state = self.storage.state_from_snapshot(snapshot)
+        # the persisted rollup describes exactly the DEFAULT committed
+        # view; dirty (include_unsealed) and time-travel opens re-derive
+        # their view's stats/tombstones with the usual Spark jobs
+        default_view = at_generation is None and not include_unsealed
         if at_generation is not None:
             at_generation = int(at_generation)
             current = gen_state.current()
@@ -160,12 +181,32 @@ class SearchEngine:
             if at_generation is not None
             else gen_state.current(include_unsealed=include_unsealed)
         )
-        self._tombstones, self._tombstone_count = self.storage.pinned_tombstones(
-            self.generation,
-            live_segments=self.live_segments,
-            include_unsealed=include_unsealed,
-            gen_state=gen_state,
+        self._gen_state = gen_state
+        self._include_unsealed = include_unsealed
+        known_tombstones = (
+            int(open_state["tombstone_count"])
+            if open_state is not None and default_view
+            else None
         )
+        if known_tombstones is not None:
+            # fully lazy: the count is authoritative (fingerprint-matched
+            # rollup for this exact view); the docid frame — including its
+            # parquet footer/schema read — is built on first use, so the
+            # open itself performs NO Spark work even on a delete-heavy
+            # index
+            self._tombstone_count = known_tombstones
+            self._tombstones_df = None
+            self._tombstones_pending = known_tombstones > 0
+        else:
+            self._tombstones_df, self._tombstone_count = (
+                self.storage.pinned_tombstones(
+                    self.generation,
+                    live_segments=self.live_segments,
+                    include_unsealed=include_unsealed,
+                    gen_state=gen_state,
+                )
+            )
+            self._tombstones_pending = False
         #: Force-broadcast the tombstone anti-join only up to this many
         #: tombstoned docids (sources.storage.TOMBSTONE_BROADCAST_MAX);
         #: larger sets use a plain left_anti join so a delete-heavy index
@@ -177,6 +218,13 @@ class SearchEngine:
         #: snapshot pinning wants anyway — files appearing after open
         #: must not be visible until reopen()
         self._table_cache: dict[str, DataFrame] = {}
+        #: isin-vs-semi-join switchover for the live-segment pin (see
+        #: SEGMENT_PIN_ISIN_MAX); instance-level so deployments/tests tune it
+        self.segment_pin_isin_max = SEGMENT_PIN_ISIN_MAX
+        self._liveness_frame: Optional[DataFrame] = None
+        #: lazily cloned no-AQE session (False = not yet attempted;
+        #: None = unavailable, plans keep AQE)
+        self._noaqe = False
 
         # snapshot stats: N (total docs) and avgdl per field, from the live
         # segments' at-seal rows (tombstones do NOT adjust stats until
@@ -188,18 +236,27 @@ class SearchEngine:
         # would be the one open-time driver dependence on corpus size.
         # Every segment writes one stats row per text field (build.py
         # _write_stats), so each field's doc_count sum is the total.
-        stats = (
-            self._read_live("field_stats")
-            .dropDuplicates(["segment_id", "field"])
-            .groupBy("field")
-            .agg(
-                F.sum("doc_count").alias("docs"),
-                F.sum("total_tokens").alias("tokens"),
+        if open_state is not None and default_view:
+            rollup = {
+                f: (int(d), int(t)) for f, (d, t) in open_state["stats"].items()
+            }
+        else:
+            stats = (
+                self._read_live("field_stats")
+                .dropDuplicates(["segment_id", "field"])
+                .groupBy("field")
+                .agg(
+                    F.sum("doc_count").alias("docs"),
+                    F.sum("total_tokens").alias("tokens"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        tokens: dict[str, int] = {r["field"]: int(r["tokens"] or 0) for r in stats}
-        self.doc_count = int(max((r["docs"] for r in stats), default=0))
+            rollup = {
+                r["field"]: (int(r["docs"] or 0), int(r["tokens"] or 0))
+                for r in stats
+            }
+        tokens: dict[str, int] = {f: t for f, (_, t) in rollup.items()}
+        self.doc_count = int(max((d for d, _ in rollup.values()), default=0))
         #: per-field snapshot token totals; an upper bound on the field's
         #: Σ_t df_t (each (doc, term) posting pair consumes ≥1 token),
         #: used to tighten the fuel estimator's pessimistic glob bound
@@ -228,6 +285,26 @@ class SearchEngine:
         from .pruned import AUTO_PRUNE_MIN_COST
 
         self.auto_prune_min_cost = AUTO_PRUNE_MIN_COST
+
+    @property
+    def _tombstones(self) -> Optional[DataFrame]:
+        """Pinned tombstone docid frame (None when the snapshot has none).
+
+        Lazily constructed when the open came from a commit-time
+        ``open_state`` rollup — the count is known without a job, and the
+        frame's footer read is deferred to the first query that needs the
+        anti-join.
+        """
+        if self._tombstones_pending:
+            self._tombstones_df, _ = self.storage.pinned_tombstones(
+                self.generation,
+                live_segments=self.live_segments,
+                include_unsealed=self._include_unsealed,
+                gen_state=self._gen_state,
+                known_count=self._tombstone_count,
+            )
+            self._tombstones_pending = False
+        return self._tombstones_df
 
     # ── public API ────────────────────────────────────────────────────────
 
@@ -323,38 +400,58 @@ class SearchEngine:
             and plan.spec.get("t") == "leaf"
             and len(plan.leaves) == 1
         )
-        ctx = self._adaptive_off() if single_leaf else nullcontext()
-        with ctx:
-            if exact_count:
-                winners, total = self._topk_with_count(scored, limit + offset)
-            else:
-                winners = (
-                    scored.orderBy(F.desc("score"), F.asc("docid"))
-                    .limit(limit + offset)
-                    .toPandas()
-                )
+        if single_leaf:
+            scored = self._without_aqe(scored)
+        if exact_count:
+            winners, total = self._topk_with_count(scored, limit + offset)
+        else:
+            winners = (
+                scored.orderBy(F.desc("score"), F.asc("docid"))
+                .limit(limit + offset)
+                .toPandas()
+            )
         winners = winners.iloc[offset:].reset_index(drop=True)
         hits = self._materialize(winners, hydrate)
         return SearchResult(hits=hits, total_count=total, fuel_units=charged)
 
-    @contextmanager
-    def _adaptive_off(self):
-        """Plan the enclosed actions without AQE.
+    def _noaqe_session(self) -> Optional[SparkSession]:
+        """Lazily cloned SparkSession whose own SQLConf has AQE disabled.
 
-        Session-scoped conf, so a concurrent action on another thread of
-        the SAME session planned inside this window also skips AQE — an
-        optimization loss only, never a correctness one; point queries are
-        the engine's latency path and exchange-free plans gain nothing
-        from adaptive re-planning.
+        ``cloneSession()`` shares the SparkContext, shared state, and
+        caches but copies the session state, so flipping AQE here cannot
+        affect concurrent queries on the primary session (the round-3
+        session-wide conf flip leaked into other threads' planning
+        windows).  Returns None when the classic internals are
+        unavailable (the caller then keeps the plain AQE plan — an
+        optimization loss only, never a correctness one).
         """
-        conf = self.spark.conf
-        key = "spark.sql.adaptive.enabled"
-        prev = conf.get(key)
-        conf.set(key, "false")
-        try:
-            yield
-        finally:
-            conf.set(key, prev)
+        if self._noaqe is False:
+            try:
+                jclone = self.spark._jsparkSession.cloneSession()
+                sess = SparkSession(self.spark.sparkContext, jclone)
+                sess.conf.set("spark.sql.adaptive.enabled", "false")
+                self._noaqe = sess
+            except Exception:
+                self._noaqe = None
+        return self._noaqe
+
+    def _without_aqe(self, df: DataFrame) -> DataFrame:
+        """Rebind a final-plan DataFrame to the engine's no-AQE session.
+
+        Exchange-free point plans (single-leaf scan → broadcast join →
+        TakeOrdered; the O(k) winner materialization) gain nothing from
+        adaptive re-planning but pay one extra scheduled job per
+        query-stage materialization; executing them under the cloned
+        session skips that per-query without touching the primary
+        session's conf.
+        """
+        sess = self._noaqe_session()
+        if sess is None:
+            return df
+        jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            sess._jsparkSession, df._jdf.queryExecution().logical()
+        )
+        return DataFrame(jdf, sess)
 
     def search_with_snippets(
         self,
@@ -598,9 +695,22 @@ class SearchEngine:
         return df
 
     def _read_live(self, table: str) -> DataFrame:
-        """Read a per-segment table pinned to this engine's snapshot."""
-        return self._base_table(table).where(
-            F.col("segment_id").isin(self.live_segments)
+        """Read a per-segment table pinned to this engine's snapshot.
+
+        Small live sets pin via a literal ``isin`` (static partition
+        pruning); sets past :data:`SEGMENT_PIN_ISIN_MAX` switch to a
+        broadcast semi-join against a liveness frame so plan size stays
+        O(1) in the segment count (runtime pruning via DPP).
+        """
+        base = self._base_table(table)
+        if len(self.live_segments) <= self.segment_pin_isin_max:
+            return base.where(F.col("segment_id").isin(self.live_segments))
+        if self._liveness_frame is None:
+            self._liveness_frame = self.spark.createDataFrame(
+                [(int(s),) for s in self.live_segments], "segment_id int"
+            )
+        return base.join(
+            F.broadcast(self._liveness_frame), on="segment_id", how="leftsemi"
         )
 
     def _filter_tombstones(self, frame: DataFrame) -> DataFrame:
@@ -1249,12 +1359,10 @@ class SearchEngine:
                     f"available: {sorted(set(docs.columns) - {'docid', 'segment_id'})}"
                 )
         cols = ["docid", "doc_id", *[c for c in hydrate if c != "doc_id"]]
-        with self._adaptive_off():  # pruned scan, no exchange: AQE is overhead
-            stored = (
-                docs.where(F.col("docid").isin(docids))
-                .select(*cols)
-                .toPandas()
-            )
+        # pruned O(k) scan, no exchange: AQE is pure overhead here
+        stored = self._without_aqe(
+            docs.where(F.col("docid").isin(docids)).select(*cols)
+        ).toPandas()
         merged = winners.merge(stored, on="docid", how="left")
         merged["rank"] = range(1, len(merged) + 1)
         return merged[["docid", "doc_id", "score", "rank", *[c for c in hydrate if c != "doc_id"]]]

@@ -43,6 +43,19 @@ from pyspark.sql import functions as F
 
 INDEX_META = "index_meta.json"
 
+#: Commit-time open-state rollup (QG-9 cold-open analogue, reference
+#: keeper open ≤50 ms for a 1M-doc index): every mutation ends in one
+#: atomic manifest publish, and the publisher also writes this tiny JSON
+#: carrying the manifest snapshot rows, the default-view stats rollup,
+#: and the tombstone count — so ``SearchEngine.__init__`` reads ONE small
+#: driver-side file instead of running ~3 Spark jobs.  Staleness is
+#: fail-safe: the file embeds a fingerprint of the manifest / tombstone /
+#: field_stats parquet file listings taken at write time; an open that
+#: sees a different listing (legacy index, external writer, crash between
+#: the manifest publish and this write) falls back to the Spark jobs.
+OPEN_STATE = "open_state.json"
+OPEN_STATE_VERSION = 1
+
 #: Broadcast the tombstone docid set into anti-joins only while it is at
 #: most this many rows.  A broadcast materializes the whole set on the
 #: driver AND once per executor; past ~10^7 docids (~80 MB of longs plus
@@ -52,6 +65,19 @@ INDEX_META = "index_meta.json"
 #: AQE may still *choose* a broadcast from its own size stats, which is
 #: fine; the gate only stops us from forcing one.
 TOMBSTONE_BROADCAST_MAX = 10_000_000
+
+#: Tombstone table file sizing: one parquet file per this many rows
+#: (docid+segment_id+generation longs compress to ~10 B/row → ~40 MB
+#: files), capped at TOMBSTONE_MAX_FILES.  Small interactive deletes stay
+#: single-file; a 10^9-row bulk delete writes ~250 files in parallel
+#: instead of funnelling everything through ONE task (the round-3
+#: single-writer bottleneck).  Appends are parallel-task commits, so a
+#: crashed bulk delete can be PARTIALLY applied — delete is idempotent
+#: (dedup against prior active rows), so the retry converges; callers
+#: needing all-or-nothing visibility stage tombstones behind a manifest
+#: generation (the upsert protocol) instead.
+TOMBSTONE_ROWS_PER_FILE = 4_000_000
+TOMBSTONE_MAX_FILES = 1024
 
 
 @dataclass(frozen=True)
@@ -284,6 +310,10 @@ class IndexStorage:
 
         for table in self.TABLES:
             shutil.rmtree(self.path(table), ignore_errors=True)
+        try:
+            os.remove(os.path.join(self.index_dir, OPEN_STATE))
+        except OSError:
+            pass
 
     # ── snapshot surface ──────────────────────────────────────────────────
 
@@ -472,6 +502,7 @@ class IndexStorage:
         live_segments=None,
         include_unsealed: bool = False,
         gen_state: GenerationState | None = None,
+        known_count: int | None = None,
     ):
         """Tombstoned docids visible at ``generation``, pinned to the
         tombstone files present right now (snapshot isolation for deletes:
@@ -488,7 +519,16 @@ class IndexStorage:
         history for time-travel readers pinned before the supersede (no
         tombstone rewrite happens at fold; liveness of the segment IS the
         fold marker).
+
+        ``known_count`` (from a fingerprint-validated :data:`OPEN_STATE`
+        rollup for the SAME view) skips the count job: 0 short-circuits
+        to ``(None, 0)`` with no reads at all, and a positive count
+        builds the frame lazily (persist without materializing — the
+        first query's action fills the cache), making a warm engine open
+        zero Spark actions.
         """
+        if known_count == 0:
+            return None, 0
         root = self.path("tombstones")
         if not os.path.isdir(root):
             return None, 0
@@ -525,11 +565,127 @@ class IndexStorage:
         if live_segments is not None and "segment_id" in df.columns:
             df = df.where(F.col("segment_id").isin(list(live_segments)))
         df = df.select("docid").distinct().persist()
+        if known_count is not None:
+            return df, int(known_count)
         n = df.count()
         if n == 0:
             df.unpersist()
             return None, 0
         return df, n
+
+    # ── commit-time open state (cold-open rollup) ─────────────────────────
+
+    def _dir_fingerprint(self) -> dict:
+        """Parquet file listings of the tables the open state derives from.
+
+        Spark part-file names embed a per-write UUID, so ANY append or
+        rewrite of these tables changes the listing; segment data tables
+        are excluded on purpose (their content is irrelevant to open-time
+        state — visibility is entirely manifest/tombstone/stats-driven).
+        """
+        out = {}
+        for table in ("manifest", "tombstones", "field_stats"):
+            root = self.path(table)
+            names: list[str] = []
+            if os.path.isdir(root):
+                names = sorted(
+                    f for f in os.listdir(root) if f.endswith(".parquet")
+                )
+            out[table] = names
+        return out
+
+    def write_open_state(self) -> None:
+        """Persist the open-time rollup for the current committed state.
+
+        Runs the same ~3 jobs an engine open would (manifest snapshot,
+        default-view stats rollup, tombstone count) — but at COMMIT time,
+        amortized into the mutation that already ran many jobs — and
+        writes them to :data:`OPEN_STATE` atomically.  Every mutation
+        publish point calls this last; a crash in between simply leaves a
+        stale file whose fingerprint mismatches (readers fall back).
+        """
+        snapshot = self.manifest_snapshot()
+        gen_state = self.state_from_snapshot(snapshot)
+        live = self.live_from_snapshot(snapshot)
+        stats: dict[str, list[int]] = {}
+        if live and self.table_exists("field_stats"):
+            rows = (
+                self.read("field_stats")
+                .where(F.col("segment_id").isin(live))
+                .dropDuplicates(["segment_id", "field"])
+                .groupBy("field")
+                .agg(
+                    F.sum("doc_count").alias("docs"),
+                    F.sum("total_tokens").alias("tokens"),
+                )
+                .collect()
+            )
+            stats = {
+                r["field"]: [int(r["docs"] or 0), int(r["tokens"] or 0)]
+                for r in rows
+            }
+        tomb_df, tomb_n = self.pinned_tombstones(
+            gen_state.current(), live_segments=live, gen_state=gen_state
+        )
+        if tomb_df is not None:
+            tomb_df.unpersist()
+        state = {
+            "version": OPEN_STATE_VERSION,
+            "fingerprint": self._dir_fingerprint(),
+            "manifest_rows": [
+                [
+                    int(r["segment_id"]),
+                    int(r["generation"]),
+                    None if r["sealed_at"] is None else int(r["sealed_at"]),
+                    r["status"],
+                    None if r["superseded_at"] is None else int(r["superseded_at"]),
+                ]
+                for r in snapshot
+            ],
+            "stats": stats,
+            "tombstone_count": int(tomb_n),
+        }
+        tmp = os.path.join(self.index_dir, OPEN_STATE + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(state, fh)
+        os.replace(tmp, os.path.join(self.index_dir, OPEN_STATE))
+
+    def read_open_state(self) -> dict | None:
+        """The commit-time rollup, or None when absent/stale/unreadable.
+
+        Staleness is decided by re-listing the three source directories
+        (driver-side ``os.listdir``, zero Spark jobs) and comparing to the
+        fingerprint taken at write time — fail-safe against legacy
+        indexes, external writers, and crashes between the manifest
+        publish and the open-state write.  A valid result's
+        ``manifest_rows`` are returned as dicts in the exact
+        :meth:`manifest_snapshot` row shape so every snapshot kernel
+        (:meth:`live_from_snapshot`, :meth:`state_from_snapshot`) works
+        unchanged on either source.
+        """
+        path = os.path.join(self.index_dir, OPEN_STATE)
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as fh:
+                state = json.load(fh)
+        except (OSError, ValueError):
+            return None
+        if state.get("version") != OPEN_STATE_VERSION:
+            return None
+        if state.get("fingerprint") != self._dir_fingerprint():
+            return None
+        state["manifest_rows"] = [
+            {
+                "segment_id": seg,
+                "generation": gen,
+                "sealed_at": sealed,
+                "status": status,
+                "superseded_at": sup,
+            }
+            for seg, gen, sealed, status, sup in state["manifest_rows"]
+        ]
+        return state
 
     def next_bases(self) -> tuple[int, int]:
         """(next docid, next segment id) from the manifest high-watermarks.
@@ -547,14 +703,43 @@ class IndexStorage:
         )
         return int(row["max(docid_hi)"]), int(row["max(segment_id)"]) + 1
 
+    def tombstone_file_count(self, n_rows: int) -> int:
+        """Output files for a tombstone write of ``n_rows`` (≥1)."""
+        per_file = int(getattr(self, "tombstone_rows_per_file", TOMBSTONE_ROWS_PER_FILE))
+        return max(1, min(TOMBSTONE_MAX_FILES, -(-int(n_rows) // per_file)))
+
+    def rewrite_tombstones(self, df: DataFrame) -> None:
+        """Atomically replace the tombstone table, sized to its data.
+
+        The directory-swap publish is unchanged (readers listing mid-write
+        only ever see the old directory); what scales is the write itself:
+        past :data:`TOMBSTONE_ROWS_PER_FILE` rows the frame is
+        hash-repartitioned on docid so many tasks write in parallel —
+        at 10^9–10^11 tombstones a single-file rewrite would funnel the
+        whole table through one task.
+        """
+        df = df.persist()
+        try:
+            nf = self.tombstone_file_count(df.count())
+            out = df.coalesce(1) if nf == 1 else df.repartition(nf, "docid")
+            self.atomic_rewrite("tombstones", out, single_file=False)
+        finally:
+            df.unpersist()
+
     def atomic_rewrite(
-        self, table: str, df: DataFrame, partition_by: tuple = ()
+        self,
+        table: str,
+        df: DataFrame,
+        partition_by: tuple = (),
+        single_file: bool = True,
     ) -> None:
         """Replace a table via write-to-temp + directory swap — the
         two-slot MANIFEST publish analogue.  Default shape is the small
         driver-side metadata table (single file); ``partition_by`` swaps a
         full partitioned table instead (used by one-time migrations that
-        must read and replace the same directory)."""
+        must read and replace the same directory); ``single_file=False``
+        writes the frame's own partitioning (callers size it to the data —
+        the tombstone-table path)."""
         import shutil
 
         tmp = self.path(table) + ".tmp"
@@ -563,6 +748,8 @@ class IndexStorage:
             df.write.format(self.format).mode("overwrite").partitionBy(
                 *partition_by
             ).save(tmp)
+        elif not single_file:
+            df.write.mode("overwrite").parquet(tmp)
         else:
             # single-file on purpose: the swap below is atomic
             # per-directory, and readers listing mid-write only ever see

@@ -1,0 +1,88 @@
+"""Per-query AQE scoping: no session-wide conf flips.
+
+Exchange-free point plans skip AQE by executing under a per-engine CLONED
+session (own SQLConf, shared context/caches) instead of flipping
+``spark.sql.adaptive.enabled`` on the shared session — the round-3 flip
+could strip AQE from a concurrent query planned inside the window.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from frankensearch_spark.index import LexicalIndex
+from frankensearch_spark.sources.transcripts import synthetic_transcripts
+
+
+def test_single_leaf_skips_aqe_without_touching_shared_conf(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("aqe_ix"))
+    corpus = synthetic_transcripts(spark, 300, vocab_size=100)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=2, num_buckets=4)
+    eng = idx.engine
+
+    # record every conf mutation during a single-leaf search
+    seen = []
+    original_set = spark.conf.set
+
+    def spy(key, value):
+        seen.append(key)
+        return original_set(key, value)
+
+    spark.conf.set = spy
+    try:
+        hits = idx.search("w3", limit=10).hits
+    finally:
+        spark.conf.set = original_set
+    assert len(hits) > 0
+    assert "spark.sql.adaptive.enabled" not in seen  # no shared flip
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # the clone exists, carries AQE-off, and is NOT the shared session
+    clone = eng._noaqe_session()
+    assert clone is not None and clone is not spark
+    assert clone.conf.get("spark.sql.adaptive.enabled") == "false"
+
+    # a concurrent thread's plan keeps AdaptiveSparkPlan while single-leaf
+    # queries hammer the engine
+    stop = threading.Event()
+    errors = []
+
+    def hammer():
+        try:
+            while not stop.is_set():
+                eng._query_cache.clear()
+                idx.search("w7", limit=5)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    t = threading.Thread(target=hammer)
+    t.start()
+    try:
+        for _ in range(5):
+            df = spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "AdaptiveSparkPlan" in plan
+            assert df.count() == 7
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errors
+
+
+def test_rebound_results_identical_across_plan_paths(spark, tmp_path_factory):
+    """The no-AQE rebind must not change any result: single-leaf (rebound)
+    vs the same query evaluated through the multi-leaf machinery."""
+    d = str(tmp_path_factory.mktemp("aqe_eq_ix"))
+    corpus = synthetic_transcripts(spark, 300, vocab_size=100)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=2, num_buckets=4)
+    single = idx.search("w3", limit=10, exact_count=True)
+    # same leaf through an OR with a vanishing term -> multi-leaf plan
+    both = idx.search("w3 OR zzneverinthecorpus", limit=10, exact_count=True)
+    assert list(single.hits["doc_id"]) == list(both.hits["doc_id"])
+    assert np.array_equal(
+        np.asarray(single.hits["score"], dtype=np.float32),
+        np.asarray(both.hits["score"], dtype=np.float32),
+    )
+    assert single.total_count == both.total_count

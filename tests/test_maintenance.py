@@ -502,7 +502,8 @@ def test_gc_without_expiry_sweeps_crash_orphans(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("gc_orphan_ix"))
     corpus = synthetic_transcripts(spark, 300, vocab_size=100)
     idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=2, num_buckets=4)
-    before = _hits(idx, "the")
+    before = _hits(idx, "w3")
+    assert before  # non-vacuous: the probe term must match
     segs = idx.storage.live_segments()
     idx.maintenance.concat_merge(segs)  # creates superseded history rows
     # fabricate a crash orphan: a partial rewrite output with no manifest row
@@ -517,10 +518,10 @@ def test_gc_without_expiry_sweeps_crash_orphans(spark, tmp_path_factory):
         assert not os.path.exists(p)
     # superseded (history) segment dirs survive and time travel still reads
     past = LexicalIndex(spark, d, at_generation=1)
-    assert _hits(past, "the") == before
+    assert _hits(past, "w3") == before
     # and the current generation is untouched
     idx.reopen()
-    assert _hits(idx, "the") == before
+    assert _hits(idx, "w3") == before
 
 
 def test_gc_refreshes_meta_before_floor_write(spark, tmp_path_factory):
@@ -585,3 +586,38 @@ def test_supersede_dedup_is_deterministic_max_generation(spark, tmp_path_factory
     # and the merge output serves identical results
     idx.reopen()
     assert idx.storage.live_segments() == [out]
+
+
+def test_bulk_delete_writes_multiple_tombstone_files(spark, tmp_path_factory, monkeypatch):
+    """Tombstone writes scale with the batch: past tombstone_rows_per_file
+    rows the append is hash-repartitioned on docid so MANY tasks write in
+    parallel (the round-3 coalesce(1) funnelled every bulk delete through
+    one task), and the gc/supersede rewrites size the swap the same way.
+    Semantics (pinned_tombstones, density, compaction) are unchanged."""
+    import os
+
+    from frankensearch_spark.sources.transcripts import synthetic_transcripts
+
+    d = str(tmp_path_factory.mktemp("multifile_ts_ix"))
+    corpus = synthetic_transcripts(spark, 400, vocab_size=100)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=2, num_buckets=4)
+    from frankensearch_spark.sources.storage import IndexStorage
+
+    # class-level: LexicalIndex.maintenance builds fresh storage instances
+    monkeypatch.setattr(IndexStorage, "tombstone_rows_per_file", 50, raising=False)
+    all_ids = [r["doc_id"] for r in idx.storage.read("docs").select("doc_id").collect()]
+    victims = sorted(all_ids)[::2]  # 200 deletes > 50 rows/file
+    assert idx.delete(victims) == len(victims)
+    ts_dir = idx.storage.path("tombstones")
+    files = [f for f in os.listdir(ts_dir) if f.endswith(".parquet")]
+    assert len(files) > 1  # parallel writers, not one task
+    idx.reopen()
+    live = set(idx.search("w1", limit=400).hits["doc_id"])
+    assert not live & set(victims)
+    assert idx.engine._tombstone_count == len(victims)
+    # the rewrite path (compaction fold -> gc) handles multi-file tables
+    idx.maintenance.compact(max_density=0.10)
+    idx.maintenance.gc()
+    idx.reopen()
+    assert set(idx.search("w1", limit=400).hits["doc_id"]) == live
+    assert idx.engine._tombstone_count == 0  # folded + swept

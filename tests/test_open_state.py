@@ -1,0 +1,186 @@
+"""Commit-time open-state rollup: zero-Spark-job engine open.
+
+The reference's keeper opens a 1M-doc index in ≤50 ms (QG-9,
+COMPREHENSIVE_PLAN §keeper cold open); the Spark analogue persists the
+open-time questions (manifest snapshot rows, default-view stats rollup,
+tombstone count) into ``open_state.json`` at every mutation's publish
+point, fingerprinted against the manifest/tombstone/field_stats file
+listings so staleness fails safe (fall back to the Spark jobs).
+
+These tests pin: zero jobs at open, byte-identical state vs the fallback
+path, refresh at every mutation publish point, fail-safe fallback on a
+stale fingerprint, and that dirty/time-travel opens re-derive their view.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from frankensearch_spark.index import LexicalIndex
+from frankensearch_spark.sources.storage import OPEN_STATE
+from frankensearch_spark.sources.transcripts import synthetic_transcripts
+
+
+def _build(spark, tmp_path_factory, name, n=400, segs=3):
+    d = str(tmp_path_factory.mktemp(name))
+    corpus = synthetic_transcripts(spark, n, vocab_size=120)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=segs, num_buckets=4)
+    return idx, d
+
+
+def _jobs_during_open(spark, index_dir, group, **kw):
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup(group, "open")
+    try:
+        idx = LexicalIndex(spark, index_dir, **kw)
+        engine = idx.engine  # forces the open
+    finally:
+        jobs = tracker.getJobIdsForGroup(group)
+        spark.sparkContext.setJobGroup(None, None)
+    return idx, engine, len(jobs)
+
+
+def _engine_state(engine):
+    return (
+        engine.generation,
+        engine.live_segments,
+        engine.doc_count,
+        {f: round(v, 12) for f, v in engine.avgdl.items()},
+        engine.field_tokens,
+        engine._tombstone_count,
+    )
+
+
+def _hits(index, query, k=10):
+    h = index.search(query, limit=k).hits
+    return list(zip(h["doc_id"], np.asarray(h["score"], dtype=np.float32)))
+
+
+def test_open_is_zero_spark_jobs_and_matches_fallback(spark, tmp_path_factory):
+    idx, d = _build(spark, tmp_path_factory, "os_zero")
+    fast_idx, fast, n_jobs = _jobs_during_open(spark, d, "os-zero-open")
+    assert n_jobs == 0  # the QG-9 contract: open issues no Spark actions
+    fast_hits = _hits(fast_idx, "w3 w7")
+    # fallback path (open_state removed) must produce IDENTICAL state
+    os.remove(os.path.join(d, OPEN_STATE))
+    slow_idx = LexicalIndex(spark, d)
+    assert _engine_state(slow_idx.engine) == _engine_state(fast)
+    assert _hits(slow_idx, "w3 w7") == fast_hits
+
+
+def test_open_state_refreshed_by_every_mutation(spark, tmp_path_factory):
+    idx, d = _build(spark, tmp_path_factory, "os_mut")
+    path = os.path.join(d, OPEN_STATE)
+
+    def assert_valid_and_identical(tag):
+        # rollup present and fingerprint-fresh
+        assert idx.storage.read_open_state() is not None, tag
+        _, fast, n_jobs = _jobs_during_open(spark, d, f"os-mut-{tag}")
+        assert n_jobs == 0, tag
+        saved = json.load(open(path))
+        os.remove(path)
+        slow = LexicalIndex(spark, d).engine
+        assert _engine_state(slow) == _engine_state(fast), tag
+        json.dump(saved, open(path, "w"))  # restore for the next step
+
+    assert_valid_and_identical("build")
+    victim = idx.search("w1", limit=1).hits["doc_id"][0]
+    idx.delete([victim])
+    assert_valid_and_identical("delete")
+    conv_id, turn_idx = victim.rsplit(":", 1)
+    replacement = spark.createDataFrame(
+        [(victim, conv_id, int(turn_idx), "user", None, "fresh replacement text")],
+        "doc_id string, conv_id string, turn_idx long, role string, "
+        "tool string, content string",
+    )
+    idx.maintenance.upsert(replacement, sort_cols=("conv_id", "turn_idx"))
+    assert_valid_and_identical("upsert")
+    # unsealed upsert + seal
+    unsealed_doc = spark.createDataFrame(
+        [("zz:9", "zz", 9, "user", None, "pending unsealed doc")],
+        "doc_id string, conv_id string, turn_idx long, role string, "
+        "tool string, content string",
+    )
+    idx.maintenance.upsert(unsealed_doc, sort_cols=("conv_id", "turn_idx"), seal=False)
+    assert_valid_and_identical("unsealed-upsert")
+    idx.maintenance.seal()
+    assert_valid_and_identical("seal")
+    # delete enough docs of one segment to trigger compaction
+    seg0_docs = (
+        idx.storage.read("docs")
+        .where("segment_id = 0")
+        .select("doc_id")
+        .limit(60)
+        .collect()
+    )
+    idx.delete([r["doc_id"] for r in seg0_docs])
+    mapping = idx.maintenance.compact(max_density=0.05)
+    assert mapping
+    assert_valid_and_identical("compact")
+    live = idx.storage.live_segments()
+    idx.maintenance.concat_merge(live)
+    assert_valid_and_identical("merge")
+    idx.maintenance.gc()
+    assert_valid_and_identical("gc")
+
+
+def test_stale_open_state_falls_back_safely(spark, tmp_path_factory):
+    idx, d = _build(spark, tmp_path_factory, "os_stale")
+    before = _hits(idx, "w3 w7")
+    path = os.path.join(d, OPEN_STATE)
+    state = json.load(open(path))
+    # simulate a crash between the manifest publish and the open_state
+    # write: fingerprint no longer matches the directory listings
+    state["fingerprint"]["manifest"].append("part-bogus.parquet")
+    # AND poison the rollup so using it would be visibly wrong
+    state["stats"] = {"content": [1, 1]}
+    state["tombstone_count"] = 12345
+    json.dump(state, open(path, "w"))
+    assert idx.storage.read_open_state() is None  # stale -> rejected
+    reopened = LexicalIndex(spark, d)
+    assert reopened.engine.doc_count == idx.engine.doc_count
+    assert _hits(reopened, "w3 w7") == before
+    # corrupt JSON is equally fail-safe
+    with open(path, "w") as fh:
+        fh.write("{not json")
+    assert idx.storage.read_open_state() is None
+    assert _hits(LexicalIndex(spark, d), "w3 w7") == before
+
+
+def test_dirty_and_time_travel_opens_rederive_their_view(spark, tmp_path_factory):
+    idx, d = _build(spark, tmp_path_factory, "os_views")
+    pending = spark.createDataFrame(
+        [("pp:0", "pp", 0, "user", None, "zzunsealed pending marker")],
+        "doc_id string, conv_id string, turn_idx long, role string, "
+        "tool string, content string",
+    )
+    idx.maintenance.upsert(pending, sort_cols=("conv_id", "turn_idx"), seal=False)
+    # default open: rollup applies, pending batch invisible
+    _, default_eng, n_default = _jobs_during_open(spark, d, "os-views-default")
+    assert n_default == 0
+    assert default_eng.doc_count == 400
+    # dirty open: rollup must NOT apply (its stats describe the sealed
+    # view); the pending doc is visible and counted
+    dirty = LexicalIndex(spark, d, include_unsealed=True)
+    assert dirty.engine.doc_count == 401
+    assert list(dirty.search("zzunsealed", limit=5).hits["doc_id"]) == ["pp:0"]
+    assert idx.search("zzunsealed", limit=5).hits.empty
+    # time-travel open: stats re-derived at the pinned generation
+    idx.maintenance.seal()
+    idx.maintenance.upsert(
+        spark.createDataFrame(
+            [("pp:0", "pp", 0, "user", None, "replaced again")],
+            "doc_id string, conv_id string, turn_idx long, role string, "
+            "tool string, content string",
+        ),
+        sort_cols=("conv_id", "turn_idx"),
+    )
+    # the sealed batch activated at generation 3 (seal mints a fresh
+    # generation); the later replacement committed generation 4
+    past = LexicalIndex(spark, d, at_generation=3)
+    assert list(past.search("zzunsealed", limit=5).hits["doc_id"]) == ["pp:0"]
+    assert past.engine.doc_count == 401

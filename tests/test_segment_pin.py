@@ -1,0 +1,49 @@
+"""Plan-size-safe live-segment pinning.
+
+Small live sets pin per-segment tables with a literal ``isin`` (static
+partition pruning); past ``SEGMENT_PIN_ISIN_MAX`` the pin switches to a
+broadcast semi-join against a liveness frame so every query plan stays
+O(1) in the live-segment count (a 10^5-literal IN bloats analysis and
+codegen of EVERY plan).  Results must be rank-identical either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from frankensearch_spark.index import LexicalIndex
+from frankensearch_spark.sources.transcripts import synthetic_transcripts
+
+QUERIES = ["w3", "w3 w7 w11", "w1 AND w3", "w1 -w9", '"w1 w1"']
+
+
+def _hits(index, query, k=10):
+    h = index.search(query, limit=k).hits
+    return list(zip(h["doc_id"], np.asarray(h["score"], dtype=np.float32)))
+
+
+def test_semijoin_pin_is_rank_identical_and_literal_free(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pin_ix"))
+    corpus = synthetic_transcripts(spark, 400, vocab_size=100)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=3, num_buckets=4)
+    baseline = {q: _hits(idx, q) for q in QUERIES}
+    assert all(baseline.values())
+
+    joined = LexicalIndex(spark, d)
+    eng = joined.engine
+    eng.segment_pin_isin_max = 1  # force the big-set path on 3 segments
+    for q in QUERIES:
+        assert _hits(joined, q) == baseline[q], q
+
+    # the pinned read is a semi-join, with no segment_id literal list
+    plan = eng._read_live("postings")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    small = LexicalIndex(spark, d).engine._read_live("postings")
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in small_plan  # default path keeps the static IN
+
+    # exact count and docid-set collectors agree across pin strategies
+    a = joined.search("w1 AND w3", exact_count=True)
+    b = idx.search("w1 AND w3", exact_count=True)
+    assert a.total_count == b.total_count
+    assert joined.collect_docids("w3") == idx.collect_docids("w3")
