@@ -117,6 +117,47 @@ def main() -> None:
             queries[name] = round(best, 4)
             latencies.append(best)
 
+        # ── engine cold-open latency (QG-9 analogue) ───────────────────────
+        # reference keeper opens a 1M-doc index in <=50 ms; with the
+        # commit-time open_state rollup the Spark engine open is zero jobs
+        t0 = time.time()
+        LexicalIndex(spark, index.index_dir).engine
+        queries["engine_open_sec"] = round(time.time() - t0, 4)
+
+        # ── incremental update throughput (streaming micro-batch ingest) ──
+        # Reference lexical-pipeline contract: >=5,000 updates/s with p95
+        # <= 25 ms per update (fsfs lexical_pipeline.rs:20-24).  The p95
+        # target is structurally out of scope for micro-batch Spark — every
+        # batch is a full upsert commit (tokenize + identity join + parquet
+        # publish), a multi-hundred-ms floor per BATCH, not per update —
+        # so we report honest throughput (updates/s across N micro-batches)
+        # and the per-batch commit latency.
+        upd_batches = 4
+        upd_rows = max(4_000, n_turns // 4)  # replacements of existing turns
+        upd_src = os.path.join(work, "upd_src")
+        synthetic_transcripts(
+            spark, upd_rows, partitions=upd_batches, seed=77
+        ).write.mode("overwrite").parquet(upd_src)
+        upd_index = LexicalIndex(spark, index.index_dir)
+        stream = (
+            spark.readStream.schema(transcripts.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(upd_src)
+        )
+        from frankensearch_spark.streaming.ingest import stream_ingest
+
+        t0 = time.time()
+        q_stream = stream_ingest(
+            upd_index, stream, os.path.join(work, "upd_ckpt"),
+            trigger_available_now=True,
+        )
+        q_stream.awaitTermination(600)
+        upd_sec = time.time() - t0
+        queries["incremental_updates_sec"] = round(upd_sec, 3)
+        out_updates_per_sec = upd_rows / upd_sec
+        queries["updates_per_sec"] = round(out_updates_per_sec, 1)
+        queries["update_batch_commit_sec"] = round(upd_sec / upd_batches, 3)
+
         # ── documents corpus build (driver-provided data) ─────────────────
         docs_path = os.path.join(sf_dir, "documents.parquet")
         docs_per_sec = None
@@ -151,6 +192,7 @@ def main() -> None:
             "n_turns": n_turns,
             "turns_per_sec": round(turns_per_sec, 1),
             "docs_per_sec": round(docs_per_sec, 1) if docs_per_sec else None,
+            "updates_per_sec": queries.get("updates_per_sec"),
             "query_p50_sec": round(statistics.median(latencies), 4),
             "cpus": cpus,
         }

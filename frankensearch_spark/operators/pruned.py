@@ -163,7 +163,15 @@ def pruned_applicable(plan: EvalPlan, is_text=None) -> bool:
 
 
 class PrunedExecutor:
-    """Bound to one SearchEngine; executes the two-pass pruned plan."""
+    """Bound to one SearchEngine; executes the two-pass pruned plan.
+
+    Observability: when the engine sets ``collect_prune_metrics = True``,
+    :meth:`execute` records ``engine.last_prune_metrics`` with the block
+    accounting (total query-term blocks vs blocks surviving the BMW
+    filter, the non-essential split, τ) — the evidence that the pruned
+    plan decodes strictly less than the exhaustive one.  Off by default:
+    the extra counts are two small jobs the latency path must not pay.
+    """
 
     def __init__(self, engine):
         self.engine = engine
@@ -298,6 +306,14 @@ class PrunedExecutor:
                 .where(F.col("bound") >= tau)
                 .select("leaf_id", "field", "term", "segment_id", "block_id")
             )
+            if getattr(engine, "collect_prune_metrics", False):
+                engine.last_prune_metrics = {
+                    "tau": float(tau),
+                    "total_blocks": int(blocks.count()),
+                    "surviving_blocks": int(surviving.count()),
+                    "essential_leaves": len(essential),
+                    "nonessential_leaves": len(nonessential),
+                }
             # Candidate generation: docids of surviving essential blocks.
             # Rank-safety: a doc in NO surviving block satisfies, for any
             # essential leaf t containing it, total ≤ ub_block(t) +

