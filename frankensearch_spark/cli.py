@@ -2,9 +2,11 @@
 
 Deployment shape per the north rule: every stage runs as a DataFrame +
 Arrow-UDF pipeline submitted via ``spark-submit --py-files fs.zip`` (zip
-the package: ``cd /root/repo && zip -r fs.zip frankensearch_spark``):
+the package: ``cd /root/repo && zip -qr fs.zip frankensearch_spark -i
+'*.py'``) with ``scripts/fs_submit.py`` as the primary application file
+(spark-submit has no ``-m`` module mode):
 
-    spark-submit --py-files fs.zip -m frankensearch_spark.cli \\
+    spark-submit --master <cluster> --py-files fs.zip scripts/fs_submit.py \\
         build --input s3://transcripts --index s3://index --segments 4096
     spark-submit ... search --index s3://index --query "error AND handling"
     spark-submit ... bulk-load --input ... --index ... --batches 64
@@ -12,7 +14,10 @@ the package: ``cd /root/repo && zip -r fs.zip frankensearch_spark``):
     spark-submit ... merge --index s3://index
     spark-submit ... gc --index s3://index
 
-Locally the same commands work as ``python -m frankensearch_spark.cli``.
+Under spark-submit, ``get_spark`` defers to the submit command's
+``--master``/``--conf`` (see ``session._submitted_externally``); locally
+the same commands work as ``python -m frankensearch_spark.cli``.
+``tests/test_spark_submit.py`` runs the real binary end-to-end.
 """
 
 from __future__ import annotations

@@ -12,6 +12,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _submitted_externally() -> bool:
+    """True when spark-submit launched this Python process.
+
+    spark-submit starts the driver JVM first and hands Python a py4j
+    gateway via ``PYSPARK_GATEWAY_PORT``; in that case ``--master`` /
+    ``--conf`` / ``--driver-memory`` from the submit command already own
+    the session, and a builder ``.master()`` here would silently override
+    the cluster manager with ``local[N]``.
+    """
+    return "PYSPARK_GATEWAY_PORT" in os.environ
+
+
 def get_spark(
     app_name: str = "frankensearch-spark",
     cores: int | None = None,
@@ -22,9 +34,14 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    builder = SparkSession.builder.appName(app_name)
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master:
+        builder = builder.master(master)
+    elif not _submitted_externally():
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
