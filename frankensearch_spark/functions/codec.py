@@ -109,18 +109,38 @@ def with_decoded_docids(df: DataFrame, delta: bool, col: str = "dec") -> DataFra
     per BLOCK row, before the explode multiplies rows.
     """
     if not delta:
-        return df.withColumn(col, F.expr("transform(entries, e -> e.docid)"))
-    df = df.withColumn(col, F.expr("transform(entries, e -> bigint(e.d))"))
+        return df.withColumn(col, _decode_expr("legacy", col))
+    df = df.withColumn(col, _decode_expr("init", col))
     step = 1
     while step < POSTINGS_PER_BLOCK:
         # shift_right(x, step) keeping length: concat zeros, trim to size
-        df = df.withColumn(
-            col,
-            F.expr(
-                f"zip_with({col}, "
-                f"slice(concat(array_repeat(0L, {step}), {col}), 1, size({col})), "
-                f"(a, b) -> a + b)"
-            ),
-        )
+        df = df.withColumn(col, _decode_expr(step, col))
         step *= 2
-    return df.withColumn(col, F.expr(f"transform({col}, v -> first_doc + v)"))
+    return df.withColumn(col, _decode_expr("final", col))
+
+
+#: Decode Columns are pure (name-resolved at analysis, no frame refs), so
+#: one expression tree per (stage, col) serves every query — rebuilding
+#: them was ~60 ms of py4j round-trips on the per-query latency path.
+_DECODE_EXPRS: dict = {}
+
+
+def _decode_expr(stage, col: str) -> Column:
+    key = (stage, col)
+    cached = _DECODE_EXPRS.get(key)
+    if cached is not None:
+        return cached
+    if stage == "legacy":
+        e = F.expr("transform(entries, e -> e.docid)")
+    elif stage == "init":
+        e = F.expr("transform(entries, e -> bigint(e.d))")
+    elif stage == "final":
+        e = F.expr(f"transform({col}, v -> first_doc + v)")
+    else:
+        e = F.expr(
+            f"zip_with({col}, "
+            f"slice(concat(array_repeat(0L, {stage}), {col}), 1, size({col})), "
+            f"(a, b) -> a + b)"
+        )
+    _DECODE_EXPRS[key] = e
+    return e

@@ -32,6 +32,8 @@ from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Iterator, Optional, Sequence
 
+import json
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -170,6 +172,27 @@ class SearchEngine:
             include_unsealed=include_unsealed,
             at_generation=at_generation,
         )
+        # per-live-segment docid spans (manifest lineage): lets O(k)
+        # point-reads (winner hydration) prune to the segment PARTITIONS
+        # containing their docids instead of scheduling a task per live
+        # file — docid is not a partition column, so without this the
+        # hydration scan is O(live files) tasks at any corpus size
+        live_set = set(self.live_segments)
+        self._segment_spans = {}
+        for r in snapshot:
+            seg = int(r["segment_id"])
+            if seg in live_set and r["docid_lo"] is not None:
+                self._segment_spans[seg] = (int(r["docid_lo"]), int(r["docid_hi"]))
+        if len(self._segment_spans) != len(live_set):
+            self._segment_spans = None  # legacy rows without spans
+            self._span_arrays = None
+        else:
+            items = sorted(self._segment_spans.items())
+            self._span_arrays = (
+                np.array([s for s, _ in items], dtype=np.int64),
+                np.array([v[0] for _, v in items], dtype=np.int64),
+                np.array([v[1] for _, v in items], dtype=np.int64),
+            )
         # Tombstones are pinned alongside the segment set: the engine
         # captures (a) the manifest generation and (b) the tombstone files
         # present at open, so deletes issued after open are invisible until
@@ -225,6 +248,12 @@ class SearchEngine:
         #: lazily cloned no-AQE session (False = not yet attempted;
         #: None = unavailable, plans keep AQE)
         self._noaqe = False
+        #: pure Column expression trees reused across queries (the tf-cache
+        #: array literal alone is 256 py4j calls to rebuild) and per-table
+        #: snapshot-pinned frames — all fixed for this engine's snapshot,
+        #: so constructing them per query only taxed the latency path
+        self._expr_cache: dict = {}
+        self._live_frame_cache: dict[str, DataFrame] = {}
 
         # snapshot stats: N (total docs) and avgdl per field, from the live
         # segments' at-seal rows (tombstones do NOT adjust stats until
@@ -497,11 +526,7 @@ class SearchEngine:
             hits = hits.assign(snippet=None)
             return SearchResult(hits=hits, total_count=result.total_count)
         docids = [int(d) for d in hits["docid"]]
-        stored = (
-            docs.where(F.col("docid").isin(docids))
-            .select("docid", snippet_field)
-            .toPandas()
-        )
+        stored = self._point_read_docs(docs, docids, ["docid", snippet_field])
         text_of = dict(zip(stored["docid"], stored[snippet_field]))
         hits = hits.assign(
             snippet=[generator.snippet(str(text_of.get(d) or "")) for d in docids]
@@ -702,16 +727,22 @@ class SearchEngine:
         broadcast semi-join against a liveness frame so plan size stays
         O(1) in the segment count (runtime pruning via DPP).
         """
+        pinned = self._live_frame_cache.get(table)
+        if pinned is not None:
+            return pinned
         base = self._base_table(table)
         if len(self.live_segments) <= self.segment_pin_isin_max:
-            return base.where(F.col("segment_id").isin(self.live_segments))
-        if self._liveness_frame is None:
-            self._liveness_frame = self.spark.createDataFrame(
-                [(int(s),) for s in self.live_segments], "segment_id int"
+            pinned = base.where(F.col("segment_id").isin(self.live_segments))
+        else:
+            if self._liveness_frame is None:
+                self._liveness_frame = self.spark.createDataFrame(
+                    [(int(s),) for s in self.live_segments], "segment_id int"
+                )
+            pinned = base.join(
+                F.broadcast(self._liveness_frame), on="segment_id", how="leftsemi"
             )
-        return base.join(
-            F.broadcast(self._liveness_frame), on="segment_id", how="leftsemi"
-        )
+        self._live_frame_cache[table] = pinned
+        return pinned
 
     def _filter_tombstones(self, frame: DataFrame) -> DataFrame:
         """Drop tombstoned docids from a (docid, ...) frame.
@@ -832,16 +863,25 @@ class SearchEngine:
         # combine stays inside whole-stage codegen; no Python workers.
         leaf_ids = [l.leaf_id for l in plan.leaves]
         pivoted = cand.groupBy("docid").pivot("leaf_id", leaf_ids).agg(F.first("score"))
-        zero = F.lit(0.0).cast("float")
-        matched, score = compile_tree_columns(
-            plan.spec,
-            lambda i: F.col(str(i)).isNotNull(),
-            lambda i: F.coalesce(F.col(str(i)).cast("float"), zero),
-        )
-        return pivoted.where(matched).select(
-            F.col("docid").cast("long").alias("docid"),
-            score.cast("float").alias("score"),
-        )
+        # the compiled tree depends only on the spec SHAPE (leaf ids +
+        # boost factors), which repeats across queries with different
+        # terms — cache the Column pair per canonical spec
+        tree_key = ("tree", json.dumps(plan.spec, sort_keys=True))
+        compiled = self._expr_cache.get(tree_key)
+        if compiled is None:
+            zero = F.lit(0.0).cast("float")
+            matched, score = compile_tree_columns(
+                plan.spec,
+                lambda i: F.col(str(i)).isNotNull(),
+                lambda i: F.coalesce(F.col(str(i)).cast("float"), zero),
+            )
+            compiled = (
+                matched,
+                F.col("docid").cast("long").alias("docid"),
+                score.cast("float").alias("score"),
+            )
+            self._expr_cache[tree_key] = compiled
+        return pivoted.where(compiled[0]).select(compiled[1], compiled[2])
 
     def _is_text(self, field: str) -> bool:
         return field in self.meta.text_fields
@@ -989,7 +1029,6 @@ class SearchEngine:
         cast back (innocuous double rounding), so scores stay hash-exact
         with the driver-weight path and the DuckDB oracle.
         """
-        f32 = lambda c: c.cast("float")  # noqa: E731
         qrows = [
             (
                 l.leaf_id,
@@ -1010,14 +1049,18 @@ class SearchEngine:
         matched = postings.join(
             F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
         )
-        n = F.col("df")
-        num = f32(f32(F.lit(self.doc_count) - n) + F.lit(0.5).cast("float"))
-        den = f32(f32(n) + F.lit(0.5).cast("float"))
-        ratio = f32(num / den)
-        idf_ = f32(F.log(f32(F.lit(1.0).cast("float") + ratio)))
-        one_plus_k1 = float(np.float32(1.0) + BM25_K1)
-        w = f32(idf_ * F.lit(one_plus_k1).cast("float"))
-        weight = f32(w * f32(F.col("boost"))).alias("weight")
+        weight = self._expr_cache.get("inplan_weight")
+        if weight is None:
+            f32 = lambda c: c.cast("float")  # noqa: E731
+            n = F.col("df")
+            num = f32(f32(F.lit(self.doc_count) - n) + F.lit(0.5).cast("float"))
+            den = f32(f32(n) + F.lit(0.5).cast("float"))
+            ratio = f32(num / den)
+            idf_ = f32(F.log(f32(F.lit(1.0).cast("float") + ratio)))
+            one_plus_k1 = float(np.float32(1.0) + BM25_K1)
+            w = f32(idf_ * F.lit(one_plus_k1).cast("float"))
+            weight = f32(w * f32(F.col("boost"))).alias("weight")
+            self._expr_cache["inplan_weight"] = weight
         # coalesce(1): the dictionary rows are <= leaves x segments; a
         # single partition satisfies the aggregate's clustering requirement
         # so no exchange (and no AQE dependency) enters the subtree
@@ -1029,16 +1072,26 @@ class SearchEngine:
             .agg(F.sum("term_df").alias("df"))
         )
         weights = dict_rows.select("leaf_id", weight)
-        exploded = with_decoded_docids(matched, is_delta_layout(postings)).select(
-            "leaf_id",
-            "field",
-            F.explode_outer(F.arrays_zip("dec", "entries")).alias("e"),
-        ).select(
-            "leaf_id",
-            "field",
-            F.col("e.dec").alias("docid"),
-            F.col("e.entries.freq").alias("freq"),
-            F.col("e.entries.fnid").alias("fnid"),
+        expl = self._expr_cache.get("inplan_explode_cols")
+        if expl is None:
+            expl = (
+                [F.explode_outer(F.arrays_zip("dec", "entries")).alias("e")],
+                [
+                    F.col("e.dec").alias("docid"),
+                    F.col("e.entries.freq").alias("freq"),
+                    F.col("e.entries.fnid").alias("fnid"),
+                ],
+            )
+            self._expr_cache["inplan_explode_cols"] = expl
+        # narrow before the staged decode: each withColumn pass re-analyzes
+        # the plan beneath it, so decode over 4 columns, not the full
+        # postings row (positions etc. would be pruned at optimize time
+        # anyway, but construction pays analysis per stage)
+        narrowed = matched.select("leaf_id", "field", "first_doc", "entries")
+        exploded = (
+            with_decoded_docids(narrowed, is_delta_layout(postings))
+            .select("leaf_id", "field", *expl[0])
+            .select("leaf_id", "field", *expl[1])
         )
         rows = exploded.join(F.broadcast(weights), on="leaf_id")
         return self._score_rows(rows)
@@ -1058,22 +1111,28 @@ class SearchEngine:
         is bit-identical to the numpy float32 path it replaces — pinned by
         ``test_contract.py::test_jvm_scoring_matches_numpy``.
         """
-        f32 = lambda c: c.cast("float")  # noqa: E731
-        norm = None
-        for name, cache in self.tf_cache.items():
-            if cache is None:
-                continue
-            arr = F.lit([float(x) for x in cache]).cast("array<float>")
-            e = F.element_at(arr, F.col("fnid") + F.lit(1))
-            norm = e if norm is None else F.when(F.col("field") == name, e).otherwise(norm)
-        if norm is None:  # no scored text field has any tokens
-            return rows.select(
-                "docid", "leaf_id", F.lit(0.0).cast("float").alias("score")
-            )
-        ff = f32(F.col("freq"))
-        tf_factor = f32(ff / f32(ff + norm))
-        score = f32(f32(F.col("weight")) * tf_factor)
-        return rows.select("docid", "leaf_id", score.alias("score"))
+        cols = self._expr_cache.get("score_cols")
+        if cols is None:
+            f32 = lambda c: c.cast("float")  # noqa: E731
+            norm = None
+            for name, cache in self.tf_cache.items():
+                if cache is None:
+                    continue
+                arr = F.lit([float(x) for x in cache]).cast("array<float>")
+                e = F.element_at(arr, F.col("fnid") + F.lit(1))
+                norm = (
+                    e if norm is None
+                    else F.when(F.col("field") == name, e).otherwise(norm)
+                )
+            if norm is None:  # no scored text field has any tokens
+                cols = ["docid", "leaf_id", F.lit(0.0).cast("float").alias("score")]
+            else:
+                ff = f32(F.col("freq"))
+                tf_factor = f32(ff / f32(ff + norm))
+                score = f32(f32(F.col("weight")) * tf_factor)
+                cols = ["docid", "leaf_id", score.alias("score")]
+            self._expr_cache["score_cols"] = cols
+        return rows.select(*cols)
 
     def _phrase_leaf_frame(self, leaf: LeafSpec) -> Optional[DataFrame]:
         if not self._is_text(leaf.field) or not self.meta.positions:
@@ -1335,6 +1394,33 @@ class SearchEngine:
             F.lit(1.0).cast("float").alias("score"),
         )
 
+    def _point_read_docs(
+        self, docs: DataFrame, docids: list, cols: list
+    ) -> pd.DataFrame:
+        """O(k) point-read of stored columns for k docids.
+
+        Manifest docid spans -> partition pruning: only the <=k segment
+        directories that can contain a requested docid are scanned (a
+        ``docid`` predicate alone prunes row groups, not files/tasks, so
+        without the span filter the scan schedules one task per live file
+        at ANY corpus size).  AQE is pure overhead on this exchange-free
+        plan, so the action runs on the no-AQE session.
+        """
+        hydra = docs.where(F.col("docid").isin(docids))
+        if self._span_arrays is not None:
+            seg_a, lo_a, hi_a = self._span_arrays
+            mask = np.zeros(len(seg_a), dtype=bool)
+            covered = True
+            for d in docids:
+                in_span = (lo_a <= d) & (d <= hi_a)
+                covered &= bool(in_span.any())
+                mask |= in_span
+            if covered:  # a docid outside every span would be dropped
+                hydra = hydra.where(
+                    F.col("segment_id").isin([int(s) for s in seg_a[mask]])
+                )
+        return self._without_aqe(hydra.select(*cols)).toPandas()
+
     def _materialize(self, winners: pd.DataFrame, hydrate: tuple = ()) -> pd.DataFrame:
         """Join the k winners back to docs (two-phase materialization).
 
@@ -1359,10 +1445,7 @@ class SearchEngine:
                     f"available: {sorted(set(docs.columns) - {'docid', 'segment_id'})}"
                 )
         cols = ["docid", "doc_id", *[c for c in hydrate if c != "doc_id"]]
-        # pruned O(k) scan, no exchange: AQE is pure overhead here
-        stored = self._without_aqe(
-            docs.where(F.col("docid").isin(docids)).select(*cols)
-        ).toPandas()
+        stored = self._point_read_docs(docs, docids, cols)
         merged = winners.merge(stored, on="docid", how="left")
         merged["rank"] = range(1, len(merged) + 1)
         return merged[["docid", "doc_id", "score", "rank", *[c for c in hydrate if c != "doc_id"]]]

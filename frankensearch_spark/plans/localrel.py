@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 #: Above this many rows the VALUES text/parameter overhead stops paying for
 #: itself; fall back to the RDD path (distributed anyway at that size).
@@ -49,9 +48,12 @@ def values_frame(spark: SparkSession, rows: Sequence[tuple], schema: str) -> Dat
             args[key] = v.item() if hasattr(v, "item") else v
             ph.append(f":{key}")
         tuples.append("(" + ", ".join(ph) + ")")
-    sql = (
-        f"SELECT * FROM VALUES {', '.join(tuples)} AS t({', '.join(names)})"
+    # casts ride in the SQL text (one py4j round-trip total); the cast
+    # Project folds into the LocalRelation (ConvertToLocalRelation)
+    proj = ", ".join(
+        f"CAST({n} AS {t}) AS {n}" for n, t in zip(names, types)
     )
-    df = spark.sql(sql, args=args)
-    # the cast Project folds into the LocalRelation (ConvertToLocalRelation)
-    return df.select(*[F.col(n).cast(t).alias(n) for n, t in zip(names, types)])
+    sql = (
+        f"SELECT {proj} FROM VALUES {', '.join(tuples)} AS t({', '.join(names)})"
+    )
+    return spark.sql(sql, args=args)

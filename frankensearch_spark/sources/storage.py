@@ -54,7 +54,10 @@ INDEX_META = "index_meta.json"
 #: sees a different listing (legacy index, external writer, crash between
 #: the manifest publish and this write) falls back to the Spark jobs.
 OPEN_STATE = "open_state.json"
-OPEN_STATE_VERSION = 1
+#: v2 added per-segment docid spans to manifest_rows (hydration pruning);
+#: v1 files fail the version check and readers fall back to the Spark
+#: open path until the next commit rewrites the rollup
+OPEN_STATE_VERSION = 2
 
 #: Broadcast the tombstone docid set into anti-joins only while it is at
 #: most this many rows.  A broadcast materializes the whole set on the
@@ -430,6 +433,16 @@ class IndexStorage:
             if "superseded_at" in man.columns
             else F.lit(None).cast("long")
         )
+        lo = (
+            F.col("docid_lo")
+            if "docid_lo" in man.columns
+            else F.lit(None).cast("long")
+        )
+        hi = (
+            F.col("docid_hi")
+            if "docid_hi" in man.columns
+            else F.lit(None).cast("long")
+        )
         return (
             man.select(
                 F.col("segment_id"),
@@ -437,6 +450,8 @@ class IndexStorage:
                 sa.alias("sealed_at"),
                 F.col("status"),
                 sup.alias("superseded_at"),
+                lo.alias("docid_lo"),
+                hi.alias("docid_hi"),
             )
             .dropDuplicates()
             .collect()
@@ -639,6 +654,8 @@ class IndexStorage:
                     None if r["sealed_at"] is None else int(r["sealed_at"]),
                     r["status"],
                     None if r["superseded_at"] is None else int(r["superseded_at"]),
+                    None if r["docid_lo"] is None else int(r["docid_lo"]),
+                    None if r["docid_hi"] is None else int(r["docid_hi"]),
                 ]
                 for r in snapshot
             ],
@@ -682,8 +699,10 @@ class IndexStorage:
                 "sealed_at": sealed,
                 "status": status,
                 "superseded_at": sup,
+                "docid_lo": lo,
+                "docid_hi": hi,
             }
-            for seg, gen, sealed, status, sup in state["manifest_rows"]
+            for seg, gen, sealed, status, sup, lo, hi in state["manifest_rows"]
         ]
         return state
 
