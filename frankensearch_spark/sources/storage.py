@@ -420,6 +420,15 @@ class IndexStorage:
         costs (engine open asks for the live set AND the generation
         state, and each separate read is ~3 Spark jobs).
         """
+        # serve from the commit-time rollup when its fingerprint still
+        # matches the directory listings (driver-side os.listdir, zero
+        # Spark): mutation protocols take several snapshots per commit
+        # (generation state, liveness, watermarks), and each cold read is
+        # ~3 jobs.  The moment any mutation lands, the fingerprint
+        # mismatches and this falls through to the real read.
+        state = self.read_open_state()
+        if state is not None:
+            return state["manifest_rows"]
         if not self.table_exists("manifest"):
             return []
         man = self.read("manifest")
@@ -681,29 +690,41 @@ class IndexStorage:
         unchanged on either source.
         """
         path = os.path.join(self.index_dir, OPEN_STATE)
-        if not os.path.exists(path):
-            return None
         try:
-            with open(path) as fh:
-                state = json.load(fh)
-        except (OSError, ValueError):
+            st = os.stat(path)
+        except OSError:
             return None
-        if state.get("version") != OPEN_STATE_VERSION:
-            return None
+        # parse cache: the fingerprint listing below is the correctness
+        # gate on EVERY call; the (mtime, size) key only skips re-parsing
+        # an O(segments) JSON document the snapshot helpers now consult
+        # several times per mutation
+        cache_key = (st.st_mtime_ns, st.st_size)
+        cached = getattr(self, "_open_state_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            state = cached[1]
+        else:
+            try:
+                with open(path) as fh:
+                    state = json.load(fh)
+            except (OSError, ValueError):
+                return None
+            if state.get("version") != OPEN_STATE_VERSION:
+                return None
+            state["manifest_rows"] = [
+                {
+                    "segment_id": seg,
+                    "generation": gen,
+                    "sealed_at": sealed,
+                    "status": status,
+                    "superseded_at": sup,
+                    "docid_lo": lo,
+                    "docid_hi": hi,
+                }
+                for seg, gen, sealed, status, sup, lo, hi in state["manifest_rows"]
+            ]
+            self._open_state_cache = (cache_key, state)
         if state.get("fingerprint") != self._dir_fingerprint():
             return None
-        state["manifest_rows"] = [
-            {
-                "segment_id": seg,
-                "generation": gen,
-                "sealed_at": sealed,
-                "status": status,
-                "superseded_at": sup,
-                "docid_lo": lo,
-                "docid_hi": hi,
-            }
-            for seg, gen, sealed, status, sup, lo, hi in state["manifest_rows"]
-        ]
         return state
 
     def next_bases(self) -> tuple[int, int]:
@@ -715,6 +736,15 @@ class IndexStorage:
         """
         if not self.table_exists("manifest"):
             return 0, 0
+        # the snapshot (open_state-served between mutations) carries every
+        # manifest row incl. superseded ones — the watermarks must cover
+        # retired segments so their ids/docids are never reissued
+        rows = self.manifest_snapshot()
+        if rows and all(r["docid_hi"] is not None for r in rows):
+            return (
+                max(int(r["docid_hi"]) for r in rows),
+                max(int(r["segment_id"]) for r in rows) + 1,
+            )
         row = (
             self.read("manifest")
             .agg({"docid_hi": "max", "segment_id": "max"})
