@@ -182,7 +182,11 @@ class SearchEngine:
         for r in snapshot:
             seg = int(r["segment_id"])
             if seg in live_set and r["docid_lo"] is not None:
-                self._segment_spans[seg] = (int(r["docid_lo"]), int(r["docid_hi"]))
+                lo, hi = int(r["docid_lo"]), int(r["docid_hi"])
+                cur = self._segment_spans.get(seg)
+                if cur is not None:  # replay remnant rows: keep the UNION
+                    lo, hi = min(cur[0], lo), max(cur[1], hi)
+                self._segment_spans[seg] = (lo, hi)
         if len(self._segment_spans) != len(live_set):
             self._segment_spans = None  # legacy rows without spans
             self._span_arrays = None
@@ -1406,7 +1410,15 @@ class SearchEngine:
         at ANY corpus size).  AQE is pure overhead on this exchange-free
         plan, so the action runs on the no-AQE session.
         """
-        hydra = docs.where(F.col("docid").isin(docids))
+        if len(docids) <= self.segment_pin_isin_max:
+            hydra = docs.where(F.col("docid").isin(docids))
+        else:
+            # deep pagination / bulk hydration: a 10^4-literal IN bloats
+            # every plan; broadcast semi-join keeps plan size O(1)
+            ids = values_frame(
+                self.spark, [(int(d),) for d in docids], "docid long"
+            )
+            hydra = docs.join(F.broadcast(ids), on="docid", how="leftsemi")
         if self._span_arrays is not None:
             seg_a, lo_a, hi_a = self._span_arrays
             mask = np.zeros(len(seg_a), dtype=bool)

@@ -47,3 +47,23 @@ def test_semijoin_pin_is_rank_identical_and_literal_free(spark, tmp_path_factory
     b = idx.search("w1 AND w3", exact_count=True)
     assert a.total_count == b.total_count
     assert joined.collect_docids("w3") == idx.collect_docids("w3")
+
+
+def test_hydration_span_pruning_rank_identical(spark, tmp_path_factory):
+    """Point-reads prune by manifest docid spans (round 4): same hits with
+    the span filter on and off, and the spans cover every live segment."""
+    d = str(tmp_path_factory.mktemp("span_ix"))
+    corpus = synthetic_transcripts(spark, 800, vocab_size=100)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=4, num_buckets=4)
+    eng = idx.engine
+    assert eng._span_arrays is not None
+    assert set(eng._segment_spans) == set(eng.live_segments)
+    pruned = _hits(idx, "w1 w2")
+    eng._span_arrays = None  # legacy fallback path
+    eng._query_cache.clear()
+    assert _hits(idx, "w1 w2") == pruned
+
+    # spans survive a mutation + reopen (open_state v2 carries them)
+    idx.delete([pruned[0][0]])
+    reopened = LexicalIndex(spark, d).engine
+    assert reopened._span_arrays is not None
