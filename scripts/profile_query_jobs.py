@@ -50,17 +50,14 @@ def main() -> None:
         for name, qs in QUERIES:
             idx.search(qs, limit=10)  # warm
             best, jobs, stages, tasks = float("inf"), 0, 0, 0
-            for _ in range(3):
+            for i in range(3):
                 engine._query_cache.clear()
-                before = set(tracker.getJobIdsForGroup(None) or [])
-                sc.setJobGroup(f"q-{name}", name)
+                group = f"q-{name}-{i}"  # fresh group per iteration
+                sc.setJobGroup(group, name)
                 t0 = time.time()
                 idx.search(qs, limit=10)
                 dt = time.time() - t0
-                new = [
-                    j for j in (tracker.getJobIdsForGroup(f"q-{name}") or [])
-                    if j not in before
-                ]
+                new = list(tracker.getJobIdsForGroup(group) or [])
                 if dt < best:
                     best = dt
                     jobs = len(new)
