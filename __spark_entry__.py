@@ -100,6 +100,26 @@ def _q_bm25_phrase(spark, sf_dir):
     return _hits_df(spark, sf_dir, '"value table"')
 
 
+def _q_bm25_cass(spark, sf_dir):
+    """CASS grammar through the engine: 'spark AND merge OR sort' with
+    CASS precedence (OR binds tighter) = spark AND (merge OR sort) — the
+    nested eval tree's f32 grouping f32(s_a + f32(s_b + s_c)) differs in
+    binary32 rounding from the default grammar's flat left-fold, so the
+    oracle checks the precedence-implied grouping, not just the match
+    set."""
+    from frankensearch_spark.plans.cass import CassQueryParser
+
+    parser = CassQueryParser(
+        searchable=("content",), regex_fields=("content",),
+        phrase_fields=("content",),
+    )
+    query = parser.parse("spark AND merge OR sort").query
+    hits = _index(spark, sf_dir).search(query, limit=10).hits
+    pdf = hits[["doc_id", "score", "rank"]].copy()
+    pdf["rank"] = pdf["rank"].astype("int32")
+    return spark.createDataFrame(pdf, schema="doc_id string, score float, rank int")
+
+
 def _q_bm25_glob_mix(spark, sf_dir):
     """Glob + term union: glob leaves are ConstScorers (1.0f), f32-summed
     with the term's BM25 score in parse order (glob clause first)."""
@@ -272,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_boolean_and": _q_bm25_and,
         "bm25_top10_boolean_not": _q_bm25_not,
         "bm25_top10_phrase": _q_bm25_phrase,
+        "bm25_top10_cass_nested": _q_bm25_cass,
         "bm25_top10_glob_mix": _q_bm25_glob_mix,
         "bm25_top10_pruned": _q_bm25_pruned,
         "bm25_match_count": _q_bm25_count,
@@ -309,6 +330,9 @@ def oracle_sql() -> dict[str, str]:
             should=["spark"], must_not=["merge"]
         ),
         "bm25_top10_phrase": dsql.bm25_phrase_sql(["value", "table"]),
+        "bm25_top10_cass_nested": dsql.bm25_cass_nested_sql(
+            "spark", "merge", "sort"
+        ),
         "bm25_top10_glob_mix": dsql.bm25_glob_mix_sql("mer", "spark"),
         "bm25_top10_pruned": dsql.bm25_topk_sql(
             should=["spark", "merge", "sort", "window"]

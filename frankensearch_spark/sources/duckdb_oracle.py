@@ -182,6 +182,34 @@ WHERE term IN (SELECT t FROM (VALUES {vals}) q(t))
 """
 
 
+def bm25_cass_nested_sql(a: str, b: str, c: str, k: int = 10) -> str:
+    """CASS grammar ``a AND b OR c`` — OR binds TIGHTER than AND
+    (cass.py; reference CASS parser), so this is ``a AND (b OR c)``:
+    matched = m_a AND (m_b OR m_c); score follows the EVAL TREE's nested
+    f32 accumulation ``f32(s_a + f32(s_b + s_c))``, which is observably
+    different in binary32 rounding from the flat left-fold
+    ``f32(f32(s_a + s_b) + s_c)`` the default grammar produces — i.e.
+    this oracle pins the GROUPING the CASS precedence implies, not just
+    the match set."""
+    zero = _r("0.0")
+    coal = [f"COALESCE(s{i}.score, {zero})" for i in range(3)]
+    inner = _f32(coal[1] + " + " + coal[2])
+    score = _f32(coal[0] + " + " + inner)
+    joins = "\n".join(
+        f"LEFT JOIN term_scores s{i} ON s{i}.doc_id = d.doc_id AND s{i}.term = '{t}'"
+        for i, t in enumerate((a, b, c))
+    )
+    return f"""{_base_ctes(_term_filter([a, b, c]))}
+SELECT d.doc_id, {score} AS score,
+       CAST(row_number() OVER (ORDER BY {score} DESC, d.doc_id ASC) AS INT) AS rank
+FROM (SELECT doc_id FROM docs) d
+{joins}
+WHERE s0.score IS NOT NULL AND (s1.score IS NOT NULL OR s2.score IS NOT NULL)
+ORDER BY score DESC, d.doc_id ASC
+LIMIT {k}
+"""
+
+
 def bm25_glob_mix_sql(prefix: str, term: str, k: int = 10) -> str:
     """Should-of [glob(prefix*), term]: the glob leaf scores a constant
     1.0f per match (ConstScorer semantics, reference index.rs glob leaves),
