@@ -891,26 +891,37 @@ class SearchEngine:
         return field in self.meta.text_fields
 
     def _doc_freqs(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
-        """Dictionary probe: broadcast-join the query terms against terms/."""
+        """Dictionary probe: broadcast-join the query terms against terms/.
+
+        Probes only cache MISSES — the cache is snapshot-pinned to this
+        engine, so a pair resolved once (by any query) never costs a
+        second Spark job; a fully-warm phrase/snippet query issues no
+        probe at all.
+        """
         if not pairs:
             return {}
-        buckets = sorted({_bucket(t, self.meta.num_buckets) for _, t in pairs})
-        terms = self._read_live("terms").where(F.col("bucket").isin(buckets))
-        cond = F.lit(False)
-        for field, term in pairs:
-            cond = cond | ((F.col("field") == field) & (F.col("term") == term))
-        # snapshot df = sum of the per-segment dictionary rows
-        rows = (
-            terms.where(cond)
-            .groupBy("field", "term")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        )
-        out = {(r["field"], r["term"]): int(r["df"]) for r in rows}
-        self._doc_freq_cache.update(out)
-        for pair in pairs:
-            self._doc_freq_cache.setdefault(pair, 0)
-        return out
+        missing = [p for p in pairs if p not in self._doc_freq_cache]
+        if missing:
+            buckets = sorted(
+                {_bucket(t, self.meta.num_buckets) for _, t in missing}
+            )
+            terms = self._read_live("terms").where(F.col("bucket").isin(buckets))
+            cond = F.lit(False)
+            for field, term in missing:
+                cond = cond | ((F.col("field") == field) & (F.col("term") == term))
+            # snapshot df = sum of the per-segment dictionary rows
+            rows = (
+                terms.where(cond)
+                .groupBy("field", "term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            self._doc_freq_cache.update(
+                {(r["field"], r["term"]): int(r["df"]) for r in rows}
+            )
+            for pair in missing:
+                self._doc_freq_cache.setdefault(pair, 0)
+        return {p: self._doc_freq_cache[p] for p in pairs}
 
     def _resolve_doc_freqs(self, leaves: list[LeafSpec]) -> None:
         """Ensure the df cache covers every text-term leaf (one probe)."""
