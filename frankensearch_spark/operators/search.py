@@ -77,6 +77,14 @@ GLOB_ISIN_MAX = 256
 #: segment_id=K directories at runtime.
 SEGMENT_PIN_ISIN_MAX = 1024
 
+#: Execute a multi-leaf query on the small-query session (AQE off, small
+#: fixed shuffle-partition count) only when the zero-job pivot-row bound
+#: (Σ leaf df, doc_count substituted for unknowns) proves the shuffle
+#: tiny.  1M rows / 8 partitions = 125k rows per task — far below any
+#: memory concern — while at cluster scale the bound exceeds this
+#: immediately and AQE keeps sizing the exchange.
+SMALL_PIVOT_MAX_ROWS = 1_000_000
+
 
 @dataclass
 class SearchResult:
@@ -428,12 +436,21 @@ class SearchEngine:
         # exchange: scan -> broadcast join -> score -> TakeOrdered.  AQE
         # can't improve such a plan but bills it one extra scheduled job
         # per query-stage materialization, so plan the action without it.
+        # Multi-leaf plans DO shuffle (the pivot); when a zero-job bound
+        # proves the pivot input small (Σ df, substituting doc_count for
+        # every unresolved leaf, ≤ SMALL_PIVOT_MAX_ROWS), the same
+        # small-query session executes them with a small FIXED partition
+        # count instead of AQE coalescing 64 empties — measured 27-45%
+        # faster at sf0.1 (scripts/ab_pivot_shuffle.py; round-3's AQE-on
+        # win was against 64 fixed, not against a right-sized count).
+        # At cluster scale the pessimistic bound is huge and AQE keeps
+        # owning the plan, so this can never mis-size a real shuffle.
         single_leaf = (
             plan.spec is not None
             and plan.spec.get("t") == "leaf"
             and len(plan.leaves) == 1
         )
-        if single_leaf:
+        if single_leaf or self._pivot_rows_bound(plan) <= SMALL_PIVOT_MAX_ROWS:
             scored = self._without_aqe(scored)
         if exact_count:
             winners, total = self._topk_with_count(scored, limit + offset)
@@ -446,6 +463,25 @@ class SearchEngine:
         winners = winners.iloc[offset:].reset_index(drop=True)
         hits = self._materialize(winners, hydrate)
         return SearchResult(hits=hits, total_count=total, fuel_units=charged)
+
+    def _pivot_rows_bound(self, plan: EvalPlan) -> int:
+        """Zero-job upper bound on the combine pivot's input rows.
+
+        Each leaf contributes at most its doc frequency; an unresolved df
+        (the in-plan term path never probes) substitutes ``doc_count``,
+        and non-term leaves (range/set/all/glob) match at most every doc.
+        The bound is used to decide execution-session sizing only — an
+        overestimate costs nothing but AQE's per-stage job.
+        """
+        total = 0
+        for leaf in plan.leaves:
+            if leaf.kind == "term" and self._is_text(leaf.field):
+                total += self._doc_freq_cache.get(
+                    (leaf.field, leaf.term), self.doc_count
+                )
+            else:
+                total += self.doc_count
+        return total
 
     def _noaqe_session(self) -> Optional[SparkSession]:
         """Lazily cloned SparkSession whose own SQLConf has AQE disabled.
@@ -463,6 +499,13 @@ class SearchEngine:
                 jclone = self.spark._jsparkSession.cloneSession()
                 sess = SparkSession(self.spark.sparkContext, jclone)
                 sess.conf.set("spark.sql.adaptive.enabled", "false")
+                # small-query sizing: plans routed here either have no
+                # exchange at all (single-leaf, point reads) or carry a
+                # pivot whose input the zero-job bound proved tiny
+                cores = self.spark.sparkContext.defaultParallelism
+                sess.conf.set(
+                    "spark.sql.shuffle.partitions", str(max(8, cores // 4))
+                )
                 self._noaqe = sess
             except Exception:
                 self._noaqe = None
