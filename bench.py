@@ -144,7 +144,10 @@ def main() -> None:
             .option("maxFilesPerTrigger", 1)
             .parquet(upd_src)
         )
-        from frankensearch_spark.streaming.ingest import stream_ingest
+        from frankensearch_spark.streaming.ingest import (
+            stream_ingest,
+            transcript_batch_to_docs,
+        )
 
         t0 = time.time()
         q_stream = stream_ingest(
@@ -157,6 +160,17 @@ def main() -> None:
         out_updates_per_sec = upd_rows / upd_sec
         queries["updates_per_sec"] = round(out_updates_per_sec, 1)
         queries["update_batch_commit_sec"] = round(upd_sec / upd_batches, 3)
+
+        # same rows in ONE commit: updates/s scales with batch size
+        # because the seal-and-publish commit cost is per BATCH — this is
+        # the number a bulk catch-up (bigger trigger) sees
+        upd_index2 = LexicalIndex(spark, index.index_dir)
+        t0 = time.time()
+        upd_index2.upsert(
+            transcript_batch_to_docs(spark.read.parquet(upd_src))
+        )
+        one_sec = time.time() - t0
+        queries["updates_per_sec_single_commit"] = round(upd_rows / one_sec, 1)
 
         # ── documents corpus build (driver-provided data) ─────────────────
         docs_path = os.path.join(sf_dir, "documents.parquet")
