@@ -86,3 +86,36 @@ def test_rebound_results_identical_across_plan_paths(spark, tmp_path_factory):
         np.asarray(both.hits["score"], dtype=np.float32),
     )
     assert single.total_count == both.total_count
+
+
+def test_small_pivot_gate_rank_identical_both_sides(spark, tmp_path_factory, monkeypatch):
+    """The provably-small-pivot rebind (round 4) is an execution-sizing
+    decision only: the same multi-leaf query through the small-query
+    session and through the AQE default must be hash-identical, and the
+    zero-job bound must be conservative (doc_count substituted for every
+    unresolved leaf)."""
+    from frankensearch_spark.operators import search as search_mod
+
+    d = str(tmp_path_factory.mktemp("pivot_gate_ix"))
+    corpus = synthetic_transcripts(spark, 500, vocab_size=100)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=2, num_buckets=4)
+    eng = idx.engine
+
+    from frankensearch_spark.plans import query as q
+    from frankensearch_spark.plans.eval import compile_query
+
+    plan = compile_query(q.canonicalize_query(eng.parser.parse_lenient("w1 w2").query))
+    bound = eng._pivot_rows_bound(plan)
+    assert bound == 2 * eng.doc_count  # no dfs resolved -> conservative
+    assert bound <= search_mod.SMALL_PIVOT_MAX_ROWS  # gate opens here
+
+    small = idx.search("w1 w2", limit=10, exact_count=True)
+    monkeypatch.setattr(search_mod, "SMALL_PIVOT_MAX_ROWS", 0)  # force AQE path
+    eng._query_cache.clear()
+    aqe = idx.search("w1 w2", limit=10, exact_count=True)
+    assert list(small.hits["docid"]) == list(aqe.hits["docid"])
+    assert np.array_equal(
+        np.asarray(small.hits["score"], dtype=np.float32),
+        np.asarray(aqe.hits["score"], dtype=np.float32),
+    )
+    assert small.total_count == aqe.total_count
