@@ -119,3 +119,23 @@ def test_small_pivot_gate_rank_identical_both_sides(spark, tmp_path_factory, mon
         np.asarray(aqe.hits["score"], dtype=np.float32),
     )
     assert small.total_count == aqe.total_count
+
+
+def test_dict_fold_exchange_path_rank_identical(spark, tmp_path_factory, monkeypatch):
+    """Past DICT_FOLD_COALESCE_MAX_SEGMENTS the in-plan dictionary fold
+    keeps its scan parallel (partial agg + exchange instead of
+    coalesce(1)); both plans must be hash-identical."""
+    from frankensearch_spark.operators import search as search_mod
+
+    d = str(tmp_path_factory.mktemp("dict_fold_ix"))
+    corpus = synthetic_transcripts(spark, 400, vocab_size=100)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=3, num_buckets=4)
+    coalesced = idx.search("w1 w2", limit=10).hits
+    monkeypatch.setattr(search_mod, "DICT_FOLD_COALESCE_MAX_SEGMENTS", 0)
+    fresh = LexicalIndex(spark, d)  # new engine: no cached plan pieces
+    exchanged = fresh.search("w1 w2", limit=10).hits
+    assert list(coalesced["docid"]) == list(exchanged["docid"])
+    assert np.array_equal(
+        np.asarray(coalesced["score"], dtype=np.float32),
+        np.asarray(exchanged["score"], dtype=np.float32),
+    )
