@@ -65,16 +65,28 @@ BMW_MIN_TOTAL_COST = 16_384
 #: reference's structural gates.  The reference applies pruning adaptively
 #: per 4,096-doc union window against a live cutoff (``argus.rs:4491-4497``)
 #: at nanosecond overhead, so its absolute cost gate (16,384) is tiny; the
-#: Spark analogue is a per-QUERY decision whose two-pass pruned plan costs
-#: ~20 scheduled jobs (seed, sigma, block filter) — measured ~2.4 s of pure
-#: scheduling at local[32] against a 1.6 s exhaustive plan at 10^5 candidate
-#: postings.  Pruning pays off when the AVOIDED work (summed doc-freq rows
-#: through the pivot exchange) exceeds the fixed job overhead; 10^7 posting
-#: rows is where shuffling+scoring the exhaustive candidate set clearly
-#: dominates ~20 job launches on a real cluster.  Engines expose it as
-#: ``auto_prune_min_cost`` so deployments (and the dispatch tests) can tune
-#: it to their own scheduler overhead.
-AUTO_PRUNE_MIN_COST = 10_000_000
+#: Spark analogue is a per-QUERY decision with a two-pass plan whose
+#: scheduling + bound-filter cost SCALES WITH BLOCK COUNT, not just a
+#: constant.  Round-4 measurement (BENCH.md, fixed 16-segment config,
+#: frequent 4-term disjunction, rank-identical both ways):
+#:
+#:   summed df   659k    2.2M    6.6M    13.2M (old floor engaged here)
+#:   pruned/exh  5.24x   3.23x   2.71x   2.33x
+#:
+#: Pruned's absolute slope (~0.6 s per 1M df: bound pass + 40-65%
+#: surviving decode + full rescore) exceeds the vectorized exhaustive
+#: scan's (~0.24 s/M df) on the synthetic zipf corpus, so the old 10M
+#: floor auto-picked a 2.3x SLOWER plan at its own engagement point.
+#: Pruning's winning regime needs decode IO to dominate scheduling AND a
+#: selective tau (the sandbox corpus keeps 60% of blocks; skewed real
+#: scores keep far fewer), which no feasible sandbox corpus reaches —
+#: the default floor therefore sits at 10^9 summed postings (a regime
+#: where the exhaustive scan moves ~TBs through the pivot and the block
+#: filter's savings are IO-bound, not job-bound).  Engines expose it as
+#: ``auto_prune_min_cost`` so selective-workload deployments tune it
+#: down with their own measurements; ``prune=True`` forces the pruned
+#: plan unconditionally (rank-safety is identical either way).
+AUTO_PRUNE_MIN_COST = 1_000_000_000
 
 
 def select_strategy(engine, plan: EvalPlan) -> Optional[str]:
