@@ -159,8 +159,7 @@ class IndexMaintenance:
                 # file count sized to the batch: interactive deletes stay
                 # single-file, bulk deletes write in parallel (the
                 # single-writer task was the round-3 scale bottleneck)
-                nf = self.storage.tombstone_file_count(n)
-                out = docs.coalesce(1) if nf == 1 else docs.repartition(nf, "docid")
+                out = self.storage.sized_tombstone_frame(docs, n)
                 self.storage.write_table(out, "tombstones", "append")
                 # upsert stages its tombstones mid-protocol (pre_publish):
                 # its own manifest append refreshes the open state right
@@ -573,7 +572,11 @@ class IndexMaintenance:
 
     # ── GC ────────────────────────────────────────────────────────────────
 
-    def gc(self, expire_history: bool = True) -> list[str]:
+    def gc(
+        self,
+        expire_history: bool = True,
+        orphan_grace_sec: float | None = None,
+    ) -> list[str]:
         """Delete segment directories no current/pending reader can reach
         (the writer-admitted GC of plan §11.4) and, by default, expire the
         superseded manifest/tombstone history with them (the Iceberg
@@ -589,10 +592,20 @@ class IndexMaintenance:
         superseded, or unsealed) are unreachable by every reader
         including time travel (e.g. a ``_rewrite_segments`` output whose
         ``_publish_supersede`` never ran; a replay re-mints the same ids
-        and rewrites via dynamic partition overwrite, so removing the
-        partial output is always safe).
+        and rewrites via dynamic partition overwrite).
+
+        Every write protocol lands segment DATA dirs first and publishes
+        the manifest row after, so an in-flight writer's segments look
+        exactly like crash orphans until their publish — the sweep
+        therefore skips any directory written within
+        ``orphan_grace_sec`` (default :attr:`orphan_grace_sec`, 1h);
+        pass ``0`` only when no concurrent writer can exist.
         """
+        if orphan_grace_sec is not None:
+            self.orphan_grace_sec = float(orphan_grace_sec)
         if not expire_history:
+            if not self.storage.table_exists("manifest"):
+                return []  # first build may be mid-flight: nothing is garbage yet
             referenced = {
                 int(r["segment_id"]) for r in self.storage.manifest_snapshot()
             }
@@ -627,8 +640,25 @@ class IndexMaintenance:
         self.storage.write_open_state()
         return removed
 
+    #: Leave an unreferenced segment directory alone unless its newest
+    #: file is at least this old.  Every write protocol lands data dirs
+    #: FIRST and the manifest row after, so a concurrent in-flight
+    #: build/upsert/compaction looks exactly like a crash orphan in the
+    #: window before its publish — but its files are fresh, while a real
+    #: crash orphan only ages.  Instance attribute so tests (and
+    #: deployments with slower commit pipelines) can tune it.
+    orphan_grace_sec: float = 3600.0
+
     def _sweep_segment_dirs(self, keep: set) -> list[str]:
-        """Remove segment partition directories not in ``keep``."""
+        """Remove segment partition directories not in ``keep``.
+
+        Grace-gated: see :attr:`orphan_grace_sec` — a dir written within
+        the grace window is presumed to be an in-flight writer's and is
+        kept for a later gc pass.
+        """
+        import time as _time
+
+        now = _time.time()
         removed = []
         for table in ("docs", "doclens", "postings", "terms"):  # terms: legacy dirs only
             root = self.storage.path(table)
@@ -638,10 +668,20 @@ class IndexMaintenance:
                 if not entry.startswith("segment_id="):
                     continue
                 seg = int(entry.split("=", 1)[1])
-                if seg not in keep:
-                    path = os.path.join(root, entry)
-                    shutil.rmtree(path, ignore_errors=True)
-                    removed.append(path)
+                if seg in keep:
+                    continue
+                path = os.path.join(root, entry)
+                try:
+                    newest = max(
+                        (e.stat().st_mtime for e in os.scandir(path)),
+                        default=os.stat(path).st_mtime,
+                    )
+                except OSError:
+                    continue  # vanished under us (concurrent gc)
+                if now - newest < self.orphan_grace_sec:
+                    continue
+                shutil.rmtree(path, ignore_errors=True)
+                removed.append(path)
         return removed
 
     # ── internals ─────────────────────────────────────────────────────────

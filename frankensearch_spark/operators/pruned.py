@@ -272,6 +272,9 @@ class PrunedExecutor:
         """Return the scored candidate DataFrame (docid, score) or None to
         signal fallback to the exhaustive path."""
         engine = self.engine
+        if getattr(engine, "collect_prune_metrics", False):
+            # reset so an early bail can't leave a PRIOR query's accounting
+            engine.last_prune_metrics = None
         leaves = plan.leaves
         # doc freqs resolved once (engine caches them for weight computation)
         engine._resolve_doc_freqs(leaves)

@@ -239,6 +239,16 @@ class SearchEngine:
             self._tombstone_count = known_tombstones
             self._tombstones_df = None
             self._tombstones_pending = known_tombstones > 0
+            # pin the FILE SET now (driver-side listdir, still zero Spark
+            # jobs): the lazy frame must see the open-time tombstones, not
+            # whatever a post-open delete appended — otherwise a delete
+            # tagged with the pinned generation becomes visible without
+            # reopen and the rollup count no longer matches the frame
+            self._tombstone_files = (
+                self.storage.list_tombstone_files()
+                if self._tombstones_pending
+                else []
+            )
         else:
             self._tombstones_df, self._tombstone_count = (
                 self.storage.pinned_tombstones(
@@ -350,6 +360,7 @@ class SearchEngine:
                 include_unsealed=self._include_unsealed,
                 gen_state=self._gen_state,
                 known_count=self._tombstone_count,
+                files=self._tombstone_files,  # the OPEN-time file set
             )
             self._tombstones_pending = False
         return self._tombstones_df
@@ -531,9 +542,16 @@ class SearchEngine:
         sess = self._noaqe_session()
         if sess is None:
             return df
-        jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-            sess._jsparkSession, df._jdf.queryExecution().logical()
-        )
+        try:
+            # Spark 4 moved the classic Dataset to sql.classic; on other
+            # versions the rebind is unavailable — keep the AQE plan (an
+            # optimization loss only, never a correctness one)
+            jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                sess._jsparkSession, df._jdf.queryExecution().logical()
+            )
+        except Exception:
+            self._noaqe = None  # stop re-attempting per query
+            return df
         return DataFrame(jdf, sess)
 
     def search_with_snippets(

@@ -32,17 +32,30 @@ def get_spark(
 ) -> SparkSession:
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    if shuffle_partitions is None:
-        shuffle_partitions = max(cores, 8)
+    external = _submitted_externally()
     builder = SparkSession.builder.appName(app_name)
     master = os.environ.get("SPARK_GRAFT_MASTER")
     if master:
         builder = builder.master(master)
-    elif not _submitted_externally():
+    elif not external:
         builder = builder.master(f"local[{cores}]")
+    # Environment-SIZING confs (shuffle parallelism, driver heap, local
+    # dirs) belong to whoever launched the JVM: under spark-submit the
+    # command's --conf/--driver-memory own them, and builder options would
+    # silently override --conf (SPARK_GRAFT_CPUS defaults are sandbox
+    # sizing, not cluster sizing).  An EXPLICIT shuffle_partitions argument
+    # still wins — callers that pass it are sizing a specific job.  The
+    # engine-SEMANTIC confs below (Arrow, UTC, dynamic partition
+    # overwrite, commit protocol, codec) are part of the engine contract
+    # and apply everywhere.
+    if shuffle_partitions is None and not external:
+        shuffle_partitions = max(cores, 8)
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     builder = (
         builder
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -51,14 +64,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # compaction rewrites only the touched segment partitions
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # 8g regardless of core count: G1 at 24-32g heaps measured 40-70%
-        # SLOWER for ≤100k-doc builds (young-gen ergonomics), while at the
-        # one measured exception (16 cores × 1M turns) 16g beat 8g by 1.7x
-        # by absorbing execution-pool contention.  Override per-job via
-        # SPARK_DRIVER_MEM when concurrent-task × batch size approaches
-        # the execution pool; on a real cluster per-EXECUTOR heap is fixed
-        # and this knob disappears.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # The posting shuffle partitions 1:1 with (segment, bucket) output
         # groups — bounded by publish cadence × buckets (≤ ~4k per batch),
         # few map tasks per executor.  In that regime the bypass-merge
@@ -83,15 +88,27 @@ def get_spark(
         # barrier, so a crashed job's stray task files are invisible and
         # replaced by the replay's dynamic partition overwrite.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-        .config("spark.ui.enabled", "false")
-        # Shuffle/spill to RAM-backed storage: the sandbox's virtual disk
-        # serializes multi-core shuffles; a real cluster would use local
-        # NVMe (override with SPARK_LOCAL_DIRS).
-        .config(
-            "spark.local.dir",
-            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
-        )
     )
+    if not external:
+        # local-mode sizing only (under spark-submit the launch command
+        # owns heap/dirs/UI): 8g heap regardless of core count — G1 at
+        # 24-32g measured 40-70% SLOWER for ≤100k-doc builds (young-gen
+        # ergonomics), while 16 cores × 1M turns wanted 16g (1.7x) to
+        # absorb execution-pool contention; override per-job via
+        # SPARK_DRIVER_MEM.  Shuffle/spill to RAM-backed storage: the
+        # sandbox's one virtual disk serializes multi-core shuffles
+        # (override with SPARK_LOCAL_DIRS).
+        builder = (
+            builder
+            .config(
+                "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g")
+            )
+            .config("spark.ui.enabled", "false")
+            .config(
+                "spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+            )
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

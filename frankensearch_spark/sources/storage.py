@@ -520,6 +520,23 @@ class IndexStorage:
         """
         return dict(self.generation_state().overrides)
 
+    def list_tombstone_files(self) -> list[str]:
+        """Driver-side listing of the tombstone table's parquet files.
+
+        Zero Spark jobs — engines capture this AT OPEN so a lazily-built
+        tombstone frame (:meth:`pinned_tombstones` with ``files=``) pins
+        the open-time file set: a delete appended after open must stay
+        invisible until reopen even when the frame is materialized later.
+        """
+        root = self.path("tombstones")
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, f)
+            for f in os.listdir(root)
+            if f.endswith(".parquet")
+        )
+
     def pinned_tombstones(
         self,
         generation: int,
@@ -527,6 +544,7 @@ class IndexStorage:
         include_unsealed: bool = False,
         gen_state: GenerationState | None = None,
         known_count: int | None = None,
+        files: list | None = None,
     ):
         """Tombstoned docids visible at ``generation``, pinned to the
         tombstone files present right now (snapshot isolation for deletes:
@@ -553,14 +571,8 @@ class IndexStorage:
         """
         if known_count == 0:
             return None, 0
-        root = self.path("tombstones")
-        if not os.path.isdir(root):
-            return None, 0
-        files = sorted(
-            os.path.join(root, f)
-            for f in os.listdir(root)
-            if f.endswith(".parquet")
-        )
+        if files is None:
+            files = self.list_tombstone_files()
         if not files:
             return None, 0
         df = self.spark.read.parquet(*files)
@@ -628,6 +640,15 @@ class IndexStorage:
         publish point calls this last; a crash in between simply leaves a
         stale file whose fingerprint mismatches (readers fall back).
         """
+        # Fingerprint BEFORE the rollup jobs: if a concurrent writer's
+        # commit lands while the rollup runs, a listing taken AFTER would
+        # match the new directory state while the rows describe the old
+        # one — a stale rollup that validates as fresh (readers would
+        # miss the concurrent segments and next_bases() would re-mint
+        # their docids).  With the pre-read listing, any concurrent
+        # mutation makes the stored fingerprint stale and readers fall
+        # back to the real manifest, which is the fail-safe direction.
+        fingerprint = self._dir_fingerprint()
         snapshot = self.manifest_snapshot()
         gen_state = self.state_from_snapshot(snapshot)
         live = self.live_from_snapshot(snapshot)
@@ -653,9 +674,15 @@ class IndexStorage:
         )
         if tomb_df is not None:
             tomb_df.unpersist()
+        if self._dir_fingerprint() != fingerprint:
+            # a concurrent mutation landed mid-rollup: this rollup is
+            # already stale — leave whatever open_state exists (its
+            # fingerprint mismatches too, so readers fall back) and let
+            # the concurrent writer's own publish write the fresh one
+            return
         state = {
             "version": OPEN_STATE_VERSION,
-            "fingerprint": self._dir_fingerprint(),
+            "fingerprint": fingerprint,
             "manifest_rows": [
                 [
                     int(r["segment_id"]),
@@ -769,11 +796,18 @@ class IndexStorage:
         """
         df = df.persist()
         try:
-            nf = self.tombstone_file_count(df.count())
-            out = df.coalesce(1) if nf == 1 else df.repartition(nf, "docid")
+            out = self.sized_tombstone_frame(df, df.count())
             self.atomic_rewrite("tombstones", out, single_file=False)
         finally:
             df.unpersist()
+
+    def sized_tombstone_frame(self, df: DataFrame, n_rows: int) -> DataFrame:
+        """Partition a tombstone frame to its data size (the ONE owner of
+        the sizing policy — append and rewrite paths share it):
+        interactive deletes stay single-file, bulk sets hash-partition on
+        docid so many tasks write in parallel."""
+        nf = self.tombstone_file_count(n_rows)
+        return df.coalesce(1) if nf == 1 else df.repartition(nf, "docid")
 
     def atomic_rewrite(
         self,

@@ -7,7 +7,8 @@ the dispatch fires on real statistics) — and prints wall times plus the
 pruned plan's block accounting.  The point is an HONEST measurement of
 where the two-pass pruned plan's ~20-job scheduling overhead crosses the
 exhaustive plan's candidate-shuffle cost on this machine; the production
-floor (pruned.AUTO_PRUNE_MIN_COST = 10M summed df) is far above any
+floor (pruned.AUTO_PRUNE_MIN_COST = 10^9 summed df, raised from 10M on
+this tool's own four-point measurement — see BENCH.md) is far above any
 sandbox corpus, so at these sizes the exhaustive plan is EXPECTED to win.
 
 Usage: python scripts/bench_prune.py [n_turns] [query]
@@ -61,7 +62,7 @@ def main() -> None:
         t_ex, h_ex = timed(False)
         t_pr, h_pr = timed("auto", floor=1)
         assert list(h_ex["docid"]) == list(h_pr["docid"])
-        m = engine.last_prune_metrics or {}
+        m = getattr(engine, "last_prune_metrics", None) or {}
         from frankensearch_spark.plans import query as q
         from frankensearch_spark.plans.eval import compile_query
 

@@ -150,7 +150,7 @@ def test_concat_merge_invariance_and_gc(spark, bulk, corpus, tmp_path_factory):
     assert idx.storage.live_segments() == [out]
     for query in QUERIES:
         assert _hits(idx, query) == before[query], query
-    removed = idx.maintenance.gc()
+    removed = idx.maintenance.gc(orphan_grace_sec=0)
     assert removed  # superseded segment dirs reclaimed
     idx.reopen()
     for query in QUERIES:
@@ -512,7 +512,7 @@ def test_gc_without_expiry_sweeps_crash_orphans(spark, tmp_path_factory):
         p = os.path.join(idx.storage.path(table), "segment_id=999")
         os.makedirs(p, exist_ok=True)
         orphans.append(p)
-    removed = idx.maintenance.gc(expire_history=False)
+    removed = idx.maintenance.gc(expire_history=False, orphan_grace_sec=0)
     assert sorted(removed) == sorted(orphans)
     for p in orphans:
         assert not os.path.exists(p)

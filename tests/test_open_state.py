@@ -184,3 +184,46 @@ def test_dirty_and_time_travel_opens_rederive_their_view(spark, tmp_path_factory
     past = LexicalIndex(spark, d, at_generation=3)
     assert list(past.search("zzunsealed", limit=5).hits["doc_id"]) == ["pp:0"]
     assert past.engine.doc_count == 401
+
+
+def test_lazy_tombstone_pin_excludes_post_open_deletes(spark, tmp_path_factory):
+    """Round-4 fix: the open_state path defers the tombstone FRAME to the
+    first query, but the FILE SET is pinned at open — a delete issued
+    after open (tagged with the same pinned generation) must stay
+    invisible until reopen, exactly like the eager path."""
+    idx, d = _build(spark, tmp_path_factory, "os_lazy_pin")
+    all_ids = list(idx.search("w1", limit=400).hits["doc_id"])
+    assert len(all_ids) >= 2
+    idx.delete([all_ids[0]])  # open_state now records tombstone_count > 0
+
+    reader = LexicalIndex(spark, d)
+    eng = reader.engine  # opens via open_state: lazy tombstone frame
+    assert eng._tombstones_pending  # frame NOT materialized yet
+
+    victim = all_ids[1]
+    LexicalIndex(spark, d).delete([victim])  # post-open delete
+
+    # first query materializes the lazy frame: open-time pin must hold
+    visible = set(reader.search("w1", limit=400).hits["doc_id"])
+    assert victim in visible  # post-open delete invisible to pinned reader
+    assert all_ids[0] not in visible  # pre-open delete applied
+
+    fresh = set(LexicalIndex(spark, d).search("w1", limit=400).hits["doc_id"])
+    assert victim not in fresh  # reopen sees it
+
+
+def test_gc_grace_protects_fresh_unpublished_dirs(spark, tmp_path_factory):
+    """Round-4 fix: an unreferenced segment dir younger than the grace
+    window looks like an in-flight writer's un-published output and must
+    survive gc; past the grace (forced to 0) it is swept as an orphan."""
+    import os as _os
+
+    idx, d = _build(spark, tmp_path_factory, "os_gc_grace")
+    orphan = _os.path.join(idx.storage.path("docs"), "segment_id=777")
+    _os.makedirs(orphan, exist_ok=True)
+    with open(_os.path.join(orphan, "part-fake.parquet"), "wb") as fh:
+        fh.write(b"x")
+    assert idx.maintenance.gc(expire_history=False) == []  # default grace
+    assert _os.path.exists(orphan)
+    removed = idx.maintenance.gc(expire_history=False, orphan_grace_sec=0)
+    assert orphan in removed and not _os.path.exists(orphan)

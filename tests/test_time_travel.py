@@ -97,7 +97,7 @@ def test_gc_expires_history_and_records_floor(spark, tmp_path_factory):
     idx.maintenance.concat_merge(segs)
     # history intact before gc
     LexicalIndex(spark, d, at_generation=1).search("alpha", limit=1)
-    removed = idx.maintenance.gc()
+    removed = idx.maintenance.gc(orphan_grace_sec=0)
     assert removed
     with pytest.raises(ValueError, match="expired by gc"):
         LexicalIndex(spark, d, at_generation=1).engine
