@@ -137,6 +137,18 @@ def _q_bm25_pruned(spark, sf_dir):
     return spark.createDataFrame(pdf, schema="doc_id string, score float, rank int")
 
 
+def _q_bm25_range(spark, sf_dir):
+    """Range leaf through the full parser+engine: KEYWORD range over the
+    primary key (string compare), MUST-combined with a scored term —
+    score = f32(bm25(spark) + 1.0f const)."""
+    return _hits_df(spark, sf_dir, "spark AND id:[100 TO 299]")
+
+
+def _q_bm25_set(spark, sf_dir):
+    """Set leaf (``id:IN [...]``) through the full parser+engine."""
+    return _hits_df(spark, sf_dir, "spark AND id:IN [101 202 303 404]")
+
+
 def _q_bm25_count(spark, sf_dir):
     res = _index(spark, sf_dir).search("spark merge", limit=1, exact_count=True)
     return spark.createDataFrame([(int(res.total_count),)], "n_matches bigint")
@@ -295,6 +307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top10_cass_nested": _q_bm25_cass,
         "bm25_top10_glob_mix": _q_bm25_glob_mix,
         "bm25_top10_pruned": _q_bm25_pruned,
+        "bm25_top10_range_filter": _q_bm25_range,
+        "bm25_top10_set_filter": _q_bm25_set,
         "bm25_match_count": _q_bm25_count,
         "bm25_top10_offset": _q_bm25_offset,
         "bm25_top10_hydrated": _q_bm25_hydrated,
@@ -336,6 +350,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_top10_glob_mix": dsql.bm25_glob_mix_sql("mer", "spark"),
         "bm25_top10_pruned": dsql.bm25_topk_sql(
             should=["spark", "merge", "sort", "window"]
+        ),
+        "bm25_top10_range_filter": dsql.bm25_range_filter_sql("spark", "100", "299"),
+        "bm25_top10_set_filter": dsql.bm25_set_filter_sql(
+            "spark", ["101", "202", "303", "404"]
         ),
         "bm25_match_count": dsql.bm25_count_sql(["spark", "merge"]),
         "bm25_top10_offset": dsql.bm25_topk_sql(

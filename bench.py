@@ -161,14 +161,15 @@ def main() -> None:
         queries["updates_per_sec"] = round(out_updates_per_sec, 1)
         queries["update_batch_commit_sec"] = round(upd_sec / upd_batches, 3)
 
-        # same rows in ONE commit: updates/s scales with batch size
+        # same row COUNT in ONE commit: updates/s scales with batch size
         # because the seal-and-publish commit cost is per BATCH — this is
-        # the number a bulk catch-up (bigger trigger) sees
+        # the number a bulk catch-up (bigger trigger) sees.  Fresh seed:
+        # re-upserting the rows the stream just applied would measure the
+        # content-hash skip-if-unchanged path, not a real commit.
+        upd2 = synthetic_transcripts(spark, upd_rows, partitions=8, seed=78)
         upd_index2 = LexicalIndex(spark, index.index_dir)
         t0 = time.time()
-        upd_index2.upsert(
-            transcript_batch_to_docs(spark.read.parquet(upd_src))
-        )
+        upd_index2.upsert(transcript_batch_to_docs(upd2))
         one_sec = time.time() - t0
         queries["updates_per_sec_single_commit"] = round(upd_rows / one_sec, 1)
 

@@ -182,6 +182,41 @@ WHERE term IN (SELECT t FROM (VALUES {vals}) q(t))
 """
 
 
+def _const_filter_topk_sql(term: str, filter_sql: str, k: int) -> str:
+    """Shared shape for ``term AND <docs-table leaf>``: the non-text leaf
+    is a ConstScorer (1.0f per matching doc, reference index.rs docs-table
+    leaves), MUST-combined with the term — score = f32(s_term + 1.0f) in
+    parse order, matching the engine's compiled eval tree."""
+    zero = _r("0.0")
+    one = _r("1.0")
+    score = _f32(f"COALESCE(s0.score, {zero}) + {one}")
+    return f"""{_base_ctes(_term_filter([term]))}
+SELECT d.doc_id, {score} AS score,
+       CAST(row_number() OVER (ORDER BY {score} DESC, d.doc_id ASC) AS INT) AS rank
+FROM (SELECT doc_id FROM docs) d
+LEFT JOIN term_scores s0 ON s0.doc_id = d.doc_id AND s0.term = '{term}'
+WHERE s0.score IS NOT NULL AND {filter_sql}
+ORDER BY score DESC, d.doc_id ASC
+LIMIT {k}
+"""
+
+
+def bm25_range_filter_sql(term: str, lower: str, upper: str, k: int = 10) -> str:
+    """``term AND id:[lower TO upper]`` — inclusive KEYWORD range over the
+    primary key.  KEYWORD ranges compare as strings on BOTH sides
+    (Spark UTF8String binary compare ≡ DuckDB default binary collation
+    for ASCII), so the oracle's varchar BETWEEN replicates the engine's
+    lexicographic semantics exactly."""
+    cond = f"d.doc_id >= '{lower}' AND d.doc_id <= '{upper}'"
+    return _const_filter_topk_sql(term, cond, k)
+
+
+def bm25_set_filter_sql(term: str, values: list[str], k: int = 10) -> str:
+    """``term AND id:IN [v1 v2 ...]`` — set leaf over the primary key."""
+    vals = ",".join(f"'{v}'" for v in values)
+    return _const_filter_topk_sql(term, f"d.doc_id IN ({vals})", k)
+
+
 def bm25_cass_nested_sql(a: str, b: str, c: str, k: int = 10) -> str:
     """CASS grammar ``a AND b OR c`` — OR binds TIGHTER than AND
     (cass.py; reference CASS parser), so this is ``a AND (b OR c)``:
