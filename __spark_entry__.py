@@ -228,6 +228,20 @@ def _q_field_stats(spark, sf_dir):
     )
 
 
+def _q_index_metrics(spark, sf_dir):
+    """Per-partition lineage + metrics rollup (segment_metrics), reduced to
+    its segment-independent sums so an engine-blind oracle can check it:
+    every doc lives in exactly one segment, so summed doc/token/posting
+    counts must equal the corpus-level quantities."""
+    m = _index(spark, sf_dir).segment_metrics()
+    return m.agg(
+        F.sum("doc_count").cast("long").alias("n_docs"),
+        F.sum("total_tokens").cast("long").alias("total_tokens"),
+        F.sum("posting_entries").cast("long").alias("posting_entries"),
+        F.sum("tombstoned_docs").cast("long").alias("tombstoned_docs"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     return textops.dedup_exact(_documents(spark, sf_dir))
 
@@ -317,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_dictionary": _q_term_dictionary,
         "top_terms_by_df": _q_top_terms,
         "field_stats": _q_field_stats,
+        "index_metrics_rollup": _q_index_metrics,
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
         "langid_stopword": _q_langid,
@@ -367,6 +382,7 @@ def oracle_sql() -> dict[str, str]:
         "term_dictionary": dsql.term_dictionary_sql(PROBE_TERMS),
         "top_terms_by_df": dsql.top_terms_sql(20),
         "field_stats": dsql.field_stats_sql(),
+        "index_metrics_rollup": dsql.index_metrics_rollup_sql(),
         "dedup_exact": dsql.dedup_exact_sql(),
         "token_counts": dsql.token_counts_sql(),
         "langid_stopword": dsql.langid_stopword_sql(textops.EN_STOPWORDS),

@@ -398,6 +398,25 @@ FROM docs
 # ── training-data op oracles ───────────────────────────────────────────────
 
 
+def index_metrics_rollup_sql() -> str:
+    """Index-wide rollup of ``segment_metrics()``'s data-derived columns.
+
+    Each doc lives in exactly ONE segment, so summing per-segment
+    doc/token/posting-entry counts over all live segments must equal the
+    corpus-level quantities DuckDB can compute independently from the raw
+    text: doc count, tokenized length sum, and distinct (doc, term) pairs.
+    (Per-segment ``terms`` and ``posting_blocks`` are NOT segment-
+    independent — terms span segments and blocks depend on per-segment df
+    — so they are excluded from the oracle-checked projection.)"""
+    return f"""{_base_ctes()}
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((SELECT sum(doclen) FROM doclens) AS BIGINT) AS total_tokens,
+       CAST((SELECT count(*) FROM freqs) AS BIGINT) AS posting_entries,
+       CAST(0 AS BIGINT) AS tombstoned_docs
+FROM docs
+"""
+
+
 def dedup_exact_sql() -> str:
     return """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
