@@ -110,6 +110,21 @@ class IndexMaintenance:
         seal).
         """
         state = self.storage.generation_state()
+        # Rollup fast path: an interactive delete (default generation,
+        # committed view) appends only tombstones, and `n` below is
+        # EXACTLY the growth of the default view's visible docid set — so
+        # a fingerprint-valid pre-mutation rollup updates incrementally
+        # (prior + n) with zero extra Spark jobs, instead of re-running a
+        # distinct-count over the whole tombstone table per delete.
+        # Capture the prior state BEFORE any write so its fingerprint
+        # still proves "describes the pre-append tables".
+        prior_raw = (
+            self.storage.open_state_raw()
+            if refresh_open_state
+            and generation is None
+            and not include_unsealed
+            else None
+        )
         if generation is None:
             generation = state.current()
         live = self.storage.live_segments(include_unsealed=include_unsealed)
@@ -165,7 +180,9 @@ class IndexMaintenance:
                 # its own manifest append refreshes the open state right
                 # after, so skip the redundant rollup there
                 if refresh_open_state:
-                    self.storage.write_open_state()
+                    self.storage.write_open_state(
+                        tombstones_appended=int(n), prior_raw=prior_raw
+                    )
             return int(n)
         finally:
             docs.unpersist()
@@ -613,6 +630,18 @@ class IndexMaintenance:
         # unsealed segments are pending, not garbage: their seal() must
         # still find the data dirs
         keep = set(self.storage.live_segments(include_unsealed=True))
+        # Segments with a superseded manifest row are PROVABLY published
+        # (an in-flight writer's dirs have no manifest row at all), so the
+        # orphan grace window — which exists only to protect unpublished
+        # in-flight writes — does not apply to them: gc right after a
+        # compaction/merge must actually reclaim the superseded dirs, not
+        # return [] until they age an hour.  Snapshot BEFORE the history
+        # rewrite below erases the evidence.
+        expired = {
+            int(r["segment_id"])
+            for r in self.storage.manifest_snapshot()
+            if r["superseded_at"] is not None
+        } - keep
         # Expire the history rows BEFORE touching directories: a crash
         # mid-gc then leaves only orphan dirs (harmless; the next gc
         # sweeps them), never history rows pointing at vanished files.
@@ -635,7 +664,7 @@ class IndexMaintenance:
         if floor > self.meta.history_floor:
             self.meta.history_floor = floor
             self.storage.write_meta(self.meta)
-        removed = self._sweep_segment_dirs(keep=keep)
+        removed = self._sweep_segment_dirs(keep=keep, force=expired)
         # the manifest/tombstone rewrites above changed the fingerprint
         self.storage.write_open_state()
         return removed
@@ -649,12 +678,16 @@ class IndexMaintenance:
     #: deployments with slower commit pipelines) can tune it.
     orphan_grace_sec: float = 3600.0
 
-    def _sweep_segment_dirs(self, keep: set) -> list[str]:
+    def _sweep_segment_dirs(
+        self, keep: set, force: set | None = None
+    ) -> list[str]:
         """Remove segment partition directories not in ``keep``.
 
         Grace-gated: see :attr:`orphan_grace_sec` — a dir written within
         the grace window is presumed to be an in-flight writer's and is
-        kept for a later gc pass.
+        kept for a later gc pass.  ``force`` segments bypass the gate:
+        the caller proved they are published garbage (e.g. a superseded
+        manifest row), which an in-flight write can never have.
         """
         import time as _time
 
@@ -678,7 +711,9 @@ class IndexMaintenance:
                     )
                 except OSError:
                     continue  # vanished under us (concurrent gc)
-                if now - newest < self.orphan_grace_sec:
+                if (force is None or seg not in force) and (
+                    now - newest < self.orphan_grace_sec
+                ):
                     continue
                 shutil.rmtree(path, ignore_errors=True)
                 removed.append(path)

@@ -33,6 +33,7 @@ from dataclasses import dataclass
 from typing import Iterator, Optional, Sequence
 
 import json
+import os
 
 import numpy as np
 import pandas as pd
@@ -239,13 +240,17 @@ class SearchEngine:
             self._tombstone_count = known_tombstones
             self._tombstones_df = None
             self._tombstones_pending = known_tombstones > 0
-            # pin the FILE SET now (driver-side listdir, still zero Spark
-            # jobs): the lazy frame must see the open-time tombstones, not
-            # whatever a post-open delete appended — otherwise a delete
-            # tagged with the pinned generation becomes visible without
-            # reopen and the rollup count no longer matches the frame
+            # pin the FILE SET from the validated fingerprint itself (no
+            # re-listing — a delete landing between the fingerprint check
+            # and a listdir here would leak into the pinned view and
+            # desync the rollup count from the frame): the lazy frame must
+            # see exactly the open-time tombstones the count describes
+            tomb_root = self.storage.path("tombstones")
             self._tombstone_files = (
-                self.storage.list_tombstone_files()
+                [
+                    os.path.join(tomb_root, f)
+                    for f in open_state["fingerprint"]["tombstones"]
+                ]
                 if self._tombstones_pending
                 else []
             )
@@ -286,33 +291,18 @@ class SearchEngine:
 
         # snapshot stats: N (total docs) and avgdl per field, from the live
         # segments' at-seal rows (tombstones do NOT adjust stats until
-        # compaction — reference quiver.rs:11877)
-        # dropDuplicates: a crash-rerun batch may append identical stats
-        # rows (bulk.py's idempotence contract); dedupe keeps sums exact.
-        # The rollup is Spark-side: the driver receives O(fields) rows, not
-        # O(segments × fields) — at 10^7 segments the per-segment collect
-        # would be the one open-time driver dependence on corpus size.
-        # Every segment writes one stats row per text field (build.py
-        # _write_stats), so each field's doc_count sum is the total.
+        # compaction — reference quiver.rs:11877).  Every segment writes
+        # one stats row per text field (build.py _write_stats), so each
+        # field's doc_count sum is the total.
         if open_state is not None and default_view:
             rollup = {
                 f: (int(d), int(t)) for f, (d, t) in open_state["stats"].items()
             }
         else:
-            stats = (
-                self._read_live("field_stats")
-                .dropDuplicates(["segment_id", "field"])
-                .groupBy("field")
-                .agg(
-                    F.sum("doc_count").alias("docs"),
-                    F.sum("total_tokens").alias("tokens"),
-                )
-                .collect()
-            )
-            rollup = {
-                r["field"]: (int(r["docs"] or 0), int(r["tokens"] or 0))
-                for r in stats
-            }
+            # the ONE stats kernel (storage.stats_rollup) — shared with the
+            # commit-time rollup writer so the fingerprint-valid open and
+            # this from-scratch open cannot drift
+            rollup = self.storage.stats_rollup(self._read_live("field_stats"))
         tokens: dict[str, int] = {f: t for f, (_, t) in rollup.items()}
         self.doc_count = int(max((d for d, _ in rollup.values()), default=0))
         #: per-field snapshot token totals; an upper bound on the field's
@@ -354,14 +344,44 @@ class SearchEngine:
         anti-join.
         """
         if self._tombstones_pending:
-            self._tombstones_df, _ = self.storage.pinned_tombstones(
-                self.generation,
-                live_segments=self.live_segments,
-                include_unsealed=self._include_unsealed,
-                gen_state=self._gen_state,
-                known_count=self._tombstone_count,
-                files=self._tombstone_files,  # the OPEN-time file set
-            )
+            df = None
+            try:
+                df, _ = self.storage.pinned_tombstones(
+                    self.generation,
+                    live_segments=self.live_segments,
+                    include_unsealed=self._include_unsealed,
+                    gen_state=self._gen_state,
+                    known_count=self._tombstone_count,
+                    files=self._tombstone_files,  # the OPEN-time file set
+                )
+                # Materialize into the Spark cache NOW: a concurrent
+                # gc()/compaction rewrite swaps the tombstone directory
+                # (the pinned part files vanish), so an un-materialized
+                # frame would crash the first query that touches it.
+                df.count()
+            except Exception:
+                try:  # drop the broken frame's cache registration
+                    if df is not None:
+                        df.unpersist()
+                except Exception:
+                    pass
+                # The pinned files were rewritten between open and first
+                # use.  Re-derive the same visible set from the CURRENT
+                # table: every rewrite preserves the rows live readers
+                # need (gc keeps live segments' rows; carry-over keeps
+                # generation-gated rows), so the pinned filters
+                # (generation ≤ pin, segment ∈ pinned live set)
+                # reconstruct the open-time set exactly.  A reader racing
+                # gc past the orphan grace window is out of contract
+                # anyway — its segment DATA files are being swept too.
+                df, n = self.storage.pinned_tombstones(
+                    self.generation,
+                    live_segments=self.live_segments,
+                    include_unsealed=self._include_unsealed,
+                    gen_state=self._gen_state,
+                )
+                self._tombstone_count = int(n)
+            self._tombstones_df = df
             self._tombstones_pending = False
         return self._tombstones_df
 

@@ -630,7 +630,33 @@ class IndexStorage:
             out[table] = names
         return out
 
-    def write_open_state(self) -> None:
+    def open_state_raw(self) -> dict | None:
+        """The stored rollup in its on-disk (JSON) shape, fingerprint
+        validated against the CURRENT directory listings — or None.
+
+        Mutation fast paths capture this BEFORE their table writes: a
+        valid result proves the stored rows describe the pre-mutation
+        state exactly, which is what an incremental update needs as its
+        base.  Unlike :meth:`read_open_state` the manifest rows stay in
+        their compact list form (and are a fresh object, safe to copy)."""
+        path = os.path.join(self.index_dir, OPEN_STATE)
+        try:
+            with open(path) as fh:
+                state = json.load(fh)
+        except (OSError, ValueError):
+            return None
+        if state.get("version") != OPEN_STATE_VERSION:
+            return None
+        if state.get("fingerprint") != self._dir_fingerprint():
+            return None
+        return state
+
+    def write_open_state(
+        self,
+        *,
+        tombstones_appended: int | None = None,
+        prior_raw: dict | None = None,
+    ) -> None:
         """Persist the open-time rollup for the current committed state.
 
         Runs the same ~3 jobs an engine open would (manifest snapshot,
@@ -639,7 +665,24 @@ class IndexStorage:
         writes them to :data:`OPEN_STATE` atomically.  Every mutation
         publish point calls this last; a crash in between simply leaves a
         stale file whose fingerprint mismatches (readers fall back).
-        """
+
+        **Tombstone-only fast path** (``tombstones_appended`` +
+        ``prior_raw``): an interactive delete would otherwise pay a full
+        distinct-count over the whole tombstone table — at 10^9+
+        accumulated tombstones that is the dominant cost of deleting ONE
+        doc.  The delete already counts exactly how many NEW docids it
+        appended (anti-joined against the prior visible set), so when the
+        pre-mutation rollup was fingerprint-valid the new count is
+        ``prior + appended`` with zero Spark jobs.  Exactness is verified
+        driver-side: the parquet footers of the newly-listed tombstone
+        files must account for exactly ``tombstones_appended`` rows — a
+        concurrent writer's rows landing in the window would break that
+        equality and drop us to the full recompute (fail-safe)."""
+        if tombstones_appended is not None and prior_raw is not None:
+            if self._write_open_state_incremental(
+                int(tombstones_appended), prior_raw
+            ):
+                return
         # Fingerprint BEFORE the rollup jobs: if a concurrent writer's
         # commit lands while the rollup runs, a listing taken AFTER would
         # match the new directory state while the rows describe the old
@@ -654,20 +697,13 @@ class IndexStorage:
         live = self.live_from_snapshot(snapshot)
         stats: dict[str, list[int]] = {}
         if live and self.table_exists("field_stats"):
-            rows = (
-                self.read("field_stats")
-                .where(F.col("segment_id").isin(live))
-                .dropDuplicates(["segment_id", "field"])
-                .groupBy("field")
-                .agg(
-                    F.sum("doc_count").alias("docs"),
-                    F.sum("total_tokens").alias("tokens"),
-                )
-                .collect()
-            )
             stats = {
-                r["field"]: [int(r["docs"] or 0), int(r["tokens"] or 0)]
-                for r in rows
+                f: [d, t]
+                for f, (d, t) in self.stats_rollup(
+                    self.read("field_stats").where(
+                        F.col("segment_id").isin(live)
+                    )
+                ).items()
             }
         tomb_df, tomb_n = self.pinned_tombstones(
             gen_state.current(), live_segments=live, gen_state=gen_state
@@ -698,10 +734,89 @@ class IndexStorage:
             "stats": stats,
             "tombstone_count": int(tomb_n),
         }
+        self._store_open_state(state)
+
+    def _store_open_state(self, state: dict) -> None:
         tmp = os.path.join(self.index_dir, OPEN_STATE + ".tmp")
         with open(tmp, "w") as fh:
             json.dump(state, fh)
         os.replace(tmp, os.path.join(self.index_dir, OPEN_STATE))
+
+    def _write_open_state_incremental(
+        self, appended: int, prior_raw: dict
+    ) -> bool:
+        """Tombstone-only rollup update with zero Spark jobs; False when
+        the exactness conditions don't hold (caller falls back to the
+        full recompute).
+
+        Conditions, all checked against the CURRENT directory state:
+
+        * the manifest and field_stats listings are byte-identical to the
+          prior fingerprint (the mutation touched only tombstones — the
+          snapshot rows and stats carry over verbatim);
+        * the prior tombstone files are all still present (append-only —
+          a rewrite invalidates the prior count);
+        * the parquet footers of the NEW tombstone files sum to exactly
+          ``appended`` rows.  The delete counted ``appended`` as the
+          number of newly-visible distinct docids it wrote, so footer
+          equality proves no concurrent writer's rows slipped into the
+          same window — the only case where ``prior + appended`` could be
+          wrong — and footers are read driver-side (pyarrow), no jobs.
+        """
+        fp = self._dir_fingerprint()
+        pf = prior_raw.get("fingerprint") or {}
+        if fp.get("manifest") != pf.get("manifest"):
+            return False
+        if fp.get("field_stats") != pf.get("field_stats"):
+            return False
+        old_files = set(pf.get("tombstones") or [])
+        new_files = set(fp.get("tombstones") or [])
+        if not old_files <= new_files:
+            return False
+        added = sorted(new_files - old_files)
+        if not added and appended:
+            return False
+        try:
+            import pyarrow.parquet as pq
+
+            root = self.path("tombstones")
+            new_rows = sum(
+                pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                for f in added
+            )
+        except Exception:
+            return False
+        if new_rows != appended:
+            return False
+        state = dict(prior_raw)
+        state["fingerprint"] = fp
+        state["tombstone_count"] = int(prior_raw["tombstone_count"]) + appended
+        self._store_open_state(state)
+        return True
+
+    def stats_rollup(self, stats_df: DataFrame) -> dict[str, tuple[int, int]]:
+        """field → (Σ doc_count, Σ total_tokens) over a field_stats frame.
+
+        THE one owner of the snapshot-stats kernel — engine open
+        (fallback path) and the commit-time rollup both call it, so the
+        fingerprint-valid open and the from-scratch open cannot drift.
+        dropDuplicates: a crash-rerun batch may append identical stats
+        rows (bulk idempotence); dedupe keeps the sums exact.  Spark-side
+        aggregation — the driver receives O(fields) rows.
+        """
+        rows = (
+            stats_df.dropDuplicates(["segment_id", "field"])
+            .groupBy("field")
+            .agg(
+                F.sum("doc_count").alias("docs"),
+                F.sum("total_tokens").alias("tokens"),
+            )
+            .collect()
+        )
+        return {
+            r["field"]: (int(r["docs"] or 0), int(r["tokens"] or 0))
+            for r in rows
+        }
 
     def read_open_state(self) -> dict | None:
         """The commit-time rollup, or None when absent/stale/unreadable.

@@ -227,3 +227,109 @@ def test_gc_grace_protects_fresh_unpublished_dirs(spark, tmp_path_factory):
     assert _os.path.exists(orphan)
     removed = idx.maintenance.gc(expire_history=False, orphan_grace_sec=0)
     assert orphan in removed and not _os.path.exists(orphan)
+
+
+def test_delete_updates_rollup_incrementally(spark, tmp_path_factory):
+    """Round-4 fix: an interactive delete must not re-run the full
+    tombstone distinct-count (at 10^9+ tombstones that job dominates a
+    one-doc delete) — with a fingerprint-valid prior rollup the count
+    updates as ``prior + newly_appended`` with zero extra Spark jobs,
+    verified exact via the new files' parquet footers.  Pinned by making
+    the full-recompute kernel unreachable during the delete."""
+    idx, d = _build(spark, tmp_path_factory, "os_incr")
+    ids = list(idx.search("w1", limit=400).hits["doc_id"])
+    assert len(ids) >= 3
+    st = idx.storage
+    orig = st.pinned_tombstones
+
+    def boom(*a, **k):  # the full rollup's one tombstone-count entry point
+        raise AssertionError("full rollup recompute ran — fast path expected")
+
+    st.pinned_tombstones = boom
+    try:
+        assert idx.delete([ids[0]]) == 1  # first delete: table didn't exist
+        assert idx.delete(ids[1:3]) == 2  # append onto an existing table
+        assert idx.delete([ids[0]]) == 0  # no-op redelete: nothing appended
+    finally:
+        st.pinned_tombstones = orig
+    path = os.path.join(d, OPEN_STATE)
+    fast_state = json.load(open(path))
+    assert fast_state["tombstone_count"] == 3
+    assert st.read_open_state() is not None  # fingerprint fresh
+    # ... and byte-identical to what the full recompute writes
+    st.write_open_state()
+    assert json.load(open(path)) == fast_state
+
+
+def test_rollup_fast_path_fails_safe(spark, tmp_path_factory):
+    """The incremental update must refuse (→ full recompute) whenever its
+    exactness proof fails: a concurrent writer's rows in the new files, a
+    manifest change, or a tombstone rewrite under the prior listing."""
+    idx, d = _build(spark, tmp_path_factory, "os_race")
+    ids = list(idx.search("w1", limit=400).hits["doc_id"])
+    st = idx.storage
+    idx.delete([ids[0]])
+    prior = st.open_state_raw()
+    assert prior is not None
+    # concurrent writer's delete lands after the prior capture: the new
+    # files' footer rows can't equal OUR claimed append -> refuse
+    LexicalIndex(spark, d).delete([ids[1]])
+    assert st._write_open_state_incremental(0, prior) is False
+    # manifest drift -> refuse
+    prior2 = st.open_state_raw()
+    bad = json.loads(json.dumps(prior2))
+    bad["fingerprint"]["manifest"] = ["part-other.parquet"]
+    assert st._write_open_state_incremental(1, bad) is False
+    # rewrite under the prior listing (old files vanished) -> refuse
+    st.rewrite_tombstones(st.read("tombstones"))
+    assert st._write_open_state_incremental(1, prior2) is False
+
+
+def test_gc_reclaims_just_superseded_dirs_within_grace(spark, tmp_path_factory):
+    """Round-4 fix: segments whose history rows gc just expired are
+    provably published (in-flight writes have no manifest row), so the
+    orphan grace window must not defer their reclamation — gc right
+    after a compaction reclaims disk, while a fresh UNPUBLISHED orphan
+    dir in the same pass keeps its grace protection."""
+    idx, d = _build(spark, tmp_path_factory, "os_gc_sup")
+    seg0 = (
+        idx.storage.read("docs")
+        .where("segment_id = 0")
+        .select("doc_id")
+        .limit(80)
+        .collect()
+    )
+    idx.delete([r["doc_id"] for r in seg0])
+    mapping = idx.maintenance.compact(max_density=0.05)
+    assert mapping
+    before = _hits(idx, "w3 w7")
+    orphan = os.path.join(idx.storage.path("docs"), "segment_id=888")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-fake.parquet"), "wb") as fh:
+        fh.write(b"x")
+    removed = idx.maintenance.gc()  # DEFAULT grace; dirs are seconds old
+    assert removed  # superseded sources reclaimed immediately
+    docs_root = idx.storage.path("docs")
+    for src in mapping:
+        assert not os.path.isdir(os.path.join(docs_root, f"segment_id={src}"))
+    assert os.path.exists(orphan)  # unpublished fresh dir keeps its grace
+    reopened = LexicalIndex(spark, d)
+    assert _hits(reopened, "w3 w7") == before
+
+
+def test_pinned_lazy_tombstones_survive_concurrent_rewrite(spark, tmp_path_factory):
+    """Round-4 fix: the lazily-built pinned tombstone frame must survive
+    a concurrent gc() swapping the tombstone directory between open and
+    the first query (the pinned part files vanish) — it re-derives the
+    same visible set from the rewritten table instead of crashing."""
+    idx, d = _build(spark, tmp_path_factory, "os_lazy_gc")
+    ids = list(idx.search("w1", limit=400).hits["doc_id"])
+    idx.delete([ids[0]])
+    reader = LexicalIndex(spark, d)
+    eng = reader.engine
+    assert eng._tombstones_pending  # lazy: frame not yet materialized
+    idx.maintenance.gc()  # rewrites the tombstone table (directory swap)
+    visible = set(reader.search("w1", limit=400).hits["doc_id"])
+    assert ids[0] not in visible  # the pinned delete still applies
+    assert len(visible) == len(ids) - 1  # no doc resurrected
+    assert eng._tombstone_count == 1
