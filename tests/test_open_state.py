@@ -236,22 +236,27 @@ def test_delete_updates_rollup_incrementally(spark, tmp_path_factory):
     updates as ``prior + newly_appended`` with zero extra Spark jobs,
     verified exact via the new files' parquet footers.  Pinned by making
     the full-recompute kernel unreachable during the delete."""
+    from frankensearch_spark.sources.storage import IndexStorage
+
     idx, d = _build(spark, tmp_path_factory, "os_incr")
     ids = list(idx.search("w1", limit=400).hits["doc_id"])
     assert len(ids) >= 3
     st = idx.storage
-    orig = st.pinned_tombstones
+    # CLASS-level patch: LexicalIndex.maintenance constructs a fresh
+    # IndexMaintenance (own IndexStorage) per call, so an instance patch
+    # on idx.storage would never reach the delete path
+    orig_pt = IndexStorage.pinned_tombstones
 
-    def boom(*a, **k):  # the full rollup's one tombstone-count entry point
+    def boom(self, *a, **k):  # the full rollup's one tombstone-count entry
         raise AssertionError("full rollup recompute ran — fast path expected")
 
-    st.pinned_tombstones = boom
+    IndexStorage.pinned_tombstones = boom
     try:
         assert idx.delete([ids[0]]) == 1  # first delete: table didn't exist
         assert idx.delete(ids[1:3]) == 2  # append onto an existing table
         assert idx.delete([ids[0]]) == 0  # no-op redelete: nothing appended
     finally:
-        st.pinned_tombstones = orig
+        IndexStorage.pinned_tombstones = orig_pt
     path = os.path.join(d, OPEN_STATE)
     fast_state = json.load(open(path))
     assert fast_state["tombstone_count"] == 3
