@@ -638,15 +638,29 @@ class IndexStorage:
         valid result proves the stored rows describe the pre-mutation
         state exactly, which is what an incremental update needs as its
         base.  Unlike :meth:`read_open_state` the manifest rows stay in
-        their compact list form (and are a fresh object, safe to copy)."""
+        their compact list form.  Same (mtime, size)-keyed parse cache as
+        :meth:`read_open_state` — the manifest_rows list is O(all
+        manifest rows ever minus gc), so re-parsing the JSON per DELETE
+        would make interactive deletes O(index history); the fingerprint
+        re-listing below stays the per-call correctness gate."""
         path = os.path.join(self.index_dir, OPEN_STATE)
         try:
-            with open(path) as fh:
-                state = json.load(fh)
-        except (OSError, ValueError):
+            st = os.stat(path)
+        except OSError:
             return None
-        if state.get("version") != OPEN_STATE_VERSION:
-            return None
+        cache_key = (st.st_mtime_ns, st.st_size)
+        cached = getattr(self, "_open_state_raw_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            state = cached[1]
+        else:
+            try:
+                with open(path) as fh:
+                    state = json.load(fh)
+            except (OSError, ValueError):
+                return None
+            if state.get("version") != OPEN_STATE_VERSION:
+                return None
+            self._open_state_raw_cache = (cache_key, state)
         if state.get("fingerprint") != self._dir_fingerprint():
             return None
         return state
