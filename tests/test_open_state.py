@@ -338,3 +338,81 @@ def test_pinned_lazy_tombstones_survive_concurrent_rewrite(spark, tmp_path_facto
     assert ids[0] not in visible  # the pinned delete still applies
     assert len(visible) == len(ids) - 1  # no doc resurrected
     assert eng._tombstone_count == 1
+
+
+def test_open_state_random_mutation_walk(spark, tmp_path_factory):
+    """Generalizes the deterministic mutation chain: a seeded random
+    interleaving of the publish protocol's operations must leave a
+    fingerprint-valid rollup after EVERY step, and the zero-job open it
+    serves must be state-identical to the from-scratch fallback open —
+    including the delete fast path composing with compact/merge/gc/seal
+    in arbitrary orders."""
+    import random
+
+    idx, d = _build(spark, tmp_path_factory, "os_walk", n=300, segs=3)
+    rng = random.Random(20260818)
+    path = os.path.join(d, OPEN_STATE)
+    counter = [0]
+    pending = [False]
+
+    def fresh_rows(k):
+        counter[0] += 1
+        c = counter[0]
+        return spark.createDataFrame(
+            [(f"nw{c}:{i}", f"nw{c}", i, "user", None,
+              f"walk doc {c} {i} w{rng.randrange(50)}") for i in range(k)],
+            "doc_id string, conv_id string, turn_idx long, role string, "
+            "tool string, content string",
+        )
+
+    def live_ids(k):
+        hits = idx.search("w1 w2 w3", limit=200).hits
+        ids = list(hits["doc_id"])
+        rng.shuffle(ids)
+        return ids[:k]
+
+    def step_delete():
+        ids = live_ids(rng.randint(1, 3))
+        if ids:
+            idx.delete(ids)
+
+    def step_upsert():
+        idx.maintenance.upsert(fresh_rows(2), sort_cols=("conv_id", "turn_idx"))
+
+    def step_unsealed():
+        idx.maintenance.upsert(
+            fresh_rows(1), sort_cols=("conv_id", "turn_idx"), seal=False
+        )
+        pending[0] = True
+
+    def step_seal():
+        if pending[0]:
+            idx.maintenance.seal()
+            pending[0] = False
+
+    def step_compact():
+        idx.maintenance.compact(max_density=0.01)
+
+    def step_merge():
+        live = idx.storage.live_segments()
+        if len(live) >= 2:
+            idx.maintenance.concat_merge(sorted(live)[:2])
+
+    def step_gc():
+        idx.maintenance.gc()
+
+    steps = [step_delete, step_upsert, step_unsealed, step_seal,
+             step_compact, step_merge, step_gc]
+    walk = [rng.choice(steps) for _ in range(10)]
+    for i, step in enumerate(walk):
+        step()
+        idx.reopen()  # gc may have swept dirs a stale pin referenced
+        tag = f"{i}:{step.__name__}"
+        assert idx.storage.read_open_state() is not None, tag
+        _, fast, n_jobs = _jobs_during_open(spark, d, f"walk-{tag}")
+        assert n_jobs == 0, tag
+        saved = json.load(open(path))
+        os.remove(path)
+        slow = LexicalIndex(spark, d).engine
+        assert _engine_state(slow) == _engine_state(fast), tag
+        json.dump(saved, open(path, "w"))
