@@ -360,20 +360,34 @@ class SearchEngine:
                 # frame would crash the first query that touches it.
                 df.count()
             except Exception:
+                # Fall back ONLY for the condition the fallback exists
+                # for — a concurrent rewrite swapped the tombstone
+                # directory and the pinned part files vanished.  Any
+                # other failure (executor loss, transient FS errors, a
+                # later bug) must surface, not silently change which
+                # tombstone set the reader scores against.
+                if all(os.path.exists(f) for f in self._tombstone_files):
+                    raise
                 try:  # drop the broken frame's cache registration
                     if df is not None:
                         df.unpersist()
                 except Exception:
                     pass
-                # The pinned files were rewritten between open and first
-                # use.  Re-derive the same visible set from the CURRENT
-                # table: every rewrite preserves the rows live readers
+                # The pinned files are gone (concurrent gc/compaction
+                # rewrite).  Re-derive from the CURRENT table with the
+                # pinned filters (generation ≤ pin, segment ∈ pinned
+                # live set): rewrites preserve every row live readers
                 # need (gc keeps live segments' rows; carry-over keeps
-                # generation-gated rows), so the pinned filters
-                # (generation ≤ pin, segment ∈ pinned live set)
-                # reconstruct the open-time set exactly.  A reader racing
-                # gc past the orphan grace window is out of contract
-                # anyway — its segment DATA files are being swept too.
+                # generation-gated rows), so nothing is ever RESURRECTED.
+                # Honest caveat: a delete committed AFTER open at the
+                # SAME pinned generation is indistinguishable from an
+                # open-time row once the files merged, so it becomes
+                # visible early — the drift is monotone-forward
+                # (early delete visibility only) and confined to this
+                # rewrite-race window; exact reconstruction would need
+                # the open-time materialization the zero-job open
+                # forgoes.  The count is refreshed with the frame, so
+                # the two never desync.
                 df, n = self.storage.pinned_tombstones(
                     self.generation,
                     live_segments=self.live_segments,

@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,6 +59,14 @@ OPEN_STATE = "open_state.json"
 #: v1 files fail the version check and readers fall back to the Spark
 #: open path until the next commit rewrites the rollup
 OPEN_STATE_VERSION = 2
+
+#: Process-wide raw-parse cache for OPEN_STATE files, keyed by index_dir
+#: with (mtime_ns, size) validity — module-level because the maintenance
+#: facade builds a fresh IndexStorage per mutation (an instance cache
+#: would start cold on every interactive delete).  Entries are the
+#: as-parsed JSON objects: shared, never mutated.
+_OPEN_STATE_PARSE_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
+_OPEN_STATE_PARSE_CACHE_MAX = 16
 
 #: Broadcast the tombstone docid set into anti-joins only while it is at
 #: most this many rows.  A broadcast materializes the whole set on the
@@ -523,10 +532,10 @@ class IndexStorage:
     def list_tombstone_files(self) -> list[str]:
         """Driver-side listing of the tombstone table's parquet files.
 
-        Zero Spark jobs — engines capture this AT OPEN so a lazily-built
-        tombstone frame (:meth:`pinned_tombstones` with ``files=``) pins
-        the open-time file set: a delete appended after open must stay
-        invisible until reopen even when the frame is materialized later.
+        Zero Spark jobs.  Engines opening via a validated ``open_state``
+        take their pinned file set from its fingerprint instead (no
+        re-listing window); this listing backs :meth:`pinned_tombstones`
+        when no ``files=`` pin is supplied.
         """
         root = self.path("tombstones")
         if not os.path.isdir(root):
@@ -630,6 +639,49 @@ class IndexStorage:
             out[table] = names
         return out
 
+    def _open_state_parse(self):
+        """((mtime_ns, size), raw state) or None — parsed + version-gated
+        but NOT fingerprint-checked (each caller re-lists; that is the
+        per-call correctness gate).
+
+        The ONE loader both :meth:`open_state_raw` and
+        :meth:`read_open_state` sit on, so the validation pipeline cannot
+        drift between the delete fast path and the reader path.  The
+        parse cache is MODULE-level keyed by index_dir: the
+        ``maintenance`` facade constructs a fresh IndexStorage per
+        mutation, so an instance attribute would start cold on every
+        delete — and the manifest_rows list is O(retained manifest
+        history), making a per-delete re-parse O(index history).
+        :meth:`_store_open_state` seeds the cache with the state it just
+        wrote, so the NEXT mutation's pre-capture is parse-free too.
+        The cached object is shared and must never be mutated (the fast
+        path copies before editing)."""
+        path = os.path.join(self.index_dir, OPEN_STATE)
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        cache_key = (st.st_mtime_ns, st.st_size)
+        cached = _OPEN_STATE_PARSE_CACHE.get(self.index_dir)
+        if cached is not None and cached[0] == cache_key:
+            _OPEN_STATE_PARSE_CACHE.move_to_end(self.index_dir)
+            return cached
+        try:
+            with open(path) as fh:
+                state = json.load(fh)
+        except (OSError, ValueError):
+            return None
+        if state.get("version") != OPEN_STATE_VERSION:
+            return None
+        self._seed_parse_cache(cache_key, state)
+        return (cache_key, state)
+
+    def _seed_parse_cache(self, cache_key, state) -> None:
+        _OPEN_STATE_PARSE_CACHE[self.index_dir] = (cache_key, state)
+        _OPEN_STATE_PARSE_CACHE.move_to_end(self.index_dir)
+        while len(_OPEN_STATE_PARSE_CACHE) > _OPEN_STATE_PARSE_CACHE_MAX:
+            _OPEN_STATE_PARSE_CACHE.popitem(last=False)
+
     def open_state_raw(self) -> dict | None:
         """The stored rollup in its on-disk (JSON) shape, fingerprint
         validated against the CURRENT directory listings — or None.
@@ -638,29 +690,11 @@ class IndexStorage:
         valid result proves the stored rows describe the pre-mutation
         state exactly, which is what an incremental update needs as its
         base.  Unlike :meth:`read_open_state` the manifest rows stay in
-        their compact list form.  Same (mtime, size)-keyed parse cache as
-        :meth:`read_open_state` — the manifest_rows list is O(all
-        manifest rows ever minus gc), so re-parsing the JSON per DELETE
-        would make interactive deletes O(index history); the fingerprint
-        re-listing below stays the per-call correctness gate."""
-        path = os.path.join(self.index_dir, OPEN_STATE)
-        try:
-            st = os.stat(path)
-        except OSError:
+        their compact list form."""
+        parsed = self._open_state_parse()
+        if parsed is None:
             return None
-        cache_key = (st.st_mtime_ns, st.st_size)
-        cached = getattr(self, "_open_state_raw_cache", None)
-        if cached is not None and cached[0] == cache_key:
-            state = cached[1]
-        else:
-            try:
-                with open(path) as fh:
-                    state = json.load(fh)
-            except (OSError, ValueError):
-                return None
-            if state.get("version") != OPEN_STATE_VERSION:
-                return None
-            self._open_state_raw_cache = (cache_key, state)
+        state = parsed[1]
         if state.get("fingerprint") != self._dir_fingerprint():
             return None
         return state
@@ -754,7 +788,20 @@ class IndexStorage:
         tmp = os.path.join(self.index_dir, OPEN_STATE + ".tmp")
         with open(tmp, "w") as fh:
             json.dump(state, fh)
-        os.replace(tmp, os.path.join(self.index_dir, OPEN_STATE))
+        dst = os.path.join(self.index_dir, OPEN_STATE)
+        os.replace(tmp, dst)
+        # seed the parse cache with what we just wrote: the next
+        # mutation's pre-capture (and the next zero-job open in this
+        # process) skips re-parsing the O(manifest-history) document.
+        # Round-trip through JSON so the cached object has the exact
+        # types a file parse would yield (tuples become lists etc.).
+        try:
+            st = os.stat(dst)
+            self._seed_parse_cache(
+                (st.st_mtime_ns, st.st_size), json.loads(json.dumps(state))
+            )
+        except OSError:
+            pass
 
     def _write_open_state_incremental(
         self, appended: int, prior_raw: dict
@@ -845,42 +892,32 @@ class IndexStorage:
         (:meth:`live_from_snapshot`, :meth:`state_from_snapshot`) works
         unchanged on either source.
         """
-        path = os.path.join(self.index_dir, OPEN_STATE)
-        try:
-            st = os.stat(path)
-        except OSError:
+        parsed = self._open_state_parse()  # the shared loader + version gate
+        if parsed is None:
             return None
-        # parse cache: the fingerprint listing below is the correctness
-        # gate on EVERY call; the (mtime, size) key only skips re-parsing
-        # an O(segments) JSON document the snapshot helpers now consult
-        # several times per mutation
-        cache_key = (st.st_mtime_ns, st.st_size)
+        cache_key, raw = parsed
+        if raw.get("fingerprint") != self._dir_fingerprint():
+            return None
+        # converted-row cache: the snapshot helpers consult this several
+        # times per mutation, and the dict conversion is O(manifest rows);
+        # per-instance because the dict rows are handed to callers
         cached = getattr(self, "_open_state_cache", None)
         if cached is not None and cached[0] == cache_key:
-            state = cached[1]
-        else:
-            try:
-                with open(path) as fh:
-                    state = json.load(fh)
-            except (OSError, ValueError):
-                return None
-            if state.get("version") != OPEN_STATE_VERSION:
-                return None
-            state["manifest_rows"] = [
-                {
-                    "segment_id": seg,
-                    "generation": gen,
-                    "sealed_at": sealed,
-                    "status": status,
-                    "superseded_at": sup,
-                    "docid_lo": lo,
-                    "docid_hi": hi,
-                }
-                for seg, gen, sealed, status, sup, lo, hi in state["manifest_rows"]
-            ]
-            self._open_state_cache = (cache_key, state)
-        if state.get("fingerprint") != self._dir_fingerprint():
-            return None
+            return cached[1]
+        state = dict(raw)
+        state["manifest_rows"] = [
+            {
+                "segment_id": seg,
+                "generation": gen,
+                "sealed_at": sealed,
+                "status": status,
+                "superseded_at": sup,
+                "docid_lo": lo,
+                "docid_hi": hi,
+            }
+            for seg, gen, sealed, status, sup, lo, hi in raw["manifest_rows"]
+        ]
+        self._open_state_cache = (cache_key, state)
         return state
 
     def next_bases(self) -> tuple[int, int]:

@@ -416,3 +416,46 @@ def test_open_state_random_mutation_walk(spark, tmp_path_factory):
         slow = LexicalIndex(spark, d).engine
         assert _engine_state(slow) == _engine_state(fast), tag
         json.dump(saved, open(path, "w"))
+
+
+def test_lazy_tombstone_fallback_semantics(spark, tmp_path_factory):
+    """The rewrite-race fallback's contract, pinned explicitly: (a) it
+    triggers ONLY when the pinned part files actually vanished — other
+    materialization failures re-raise instead of silently changing the
+    scoring set; (b) the re-derived set never resurrects a doc, and its
+    documented drift is monotone-forward only (a post-open delete at the
+    pinned generation becomes visible early), with the count refreshed
+    alongside the frame so the two never desync."""
+    from frankensearch_spark.sources.storage import IndexStorage
+
+    idx, d = _build(spark, tmp_path_factory, "os_fb")
+    ids = list(idx.search("w1", limit=400).hits["doc_id"])
+    idx.delete([ids[0]])
+
+    # (a) files intact + unrelated failure -> re-raise, not fallback
+    reader = LexicalIndex(spark, d)
+    eng = reader.engine
+    assert eng._tombstones_pending
+    orig_pt = IndexStorage.pinned_tombstones
+
+    def flaky(self, *a, **k):
+        raise RuntimeError("transient executor failure")
+
+    IndexStorage.pinned_tombstones = flaky
+    try:
+        with pytest.raises(RuntimeError, match="transient"):
+            reader.search("w1", limit=5)
+    finally:
+        IndexStorage.pinned_tombstones = orig_pt
+
+    # (b) post-open delete + rewrite: early visibility, consistent count
+    reader2 = LexicalIndex(spark, d)
+    eng2 = reader2.engine
+    assert eng2._tombstones_pending
+    LexicalIndex(spark, d).delete([ids[1]])  # post-open, same generation
+    idx.maintenance.gc()  # swaps the tombstone directory
+    visible = set(reader2.search("w1", limit=400).hits["doc_id"])
+    assert ids[0] not in visible  # pre-open delete applied
+    assert ids[1] not in visible  # documented drift: visible EARLY
+    assert len(visible) == len(ids) - 2  # nothing resurrected
+    assert eng2._tombstone_count == 2  # count refreshed with the frame
