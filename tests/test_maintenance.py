@@ -621,3 +621,25 @@ def test_bulk_delete_writes_multiple_tombstone_files(spark, tmp_path_factory, mo
     idx.reopen()
     assert set(idx.search("w1", limit=400).hits["doc_id"]) == live
     assert idx.engine._tombstone_count == 0  # folded + swept
+
+
+def test_auto_upsert_segment_sizing():
+    """Upsert batch sizing: watch-mode micro-batches stay at ONE segment
+    (no manifest/merge pressure), big commits get enough segments that
+    the (segment, bucket) posting exchange reaches every core, and the
+    64Ki-lease skew bound caps segment size exactly as in the cold build
+    (num_segments=1 throttled a 100k-row commit to B tasks — measured
+    2.3x slower than auto at local[32], BENCH.md)."""
+    from frankensearch_spark.operators.build import TARGET_DOCS_PER_SEGMENT
+    from frankensearch_spark.operators.maintenance import _auto_upsert_segments
+
+    assert _auto_upsert_segments(1, 32, 8) == 1
+    assert _auto_upsert_segments(6_250, 32, 8) == 1  # watch-mode batch
+    assert _auto_upsert_segments(100_000, 32, 8) == 4  # 4 x 8 = 32 tasks
+    assert _auto_upsert_segments(100_000, 8, 8) == 1  # small cluster
+    # skew bound dominates at bulk scale
+    n = 10**9
+    assert _auto_upsert_segments(n, 32, 8) == -(-n // TARGET_DOCS_PER_SEGMENT)
+    # degenerate inputs stay sane
+    assert _auto_upsert_segments(0, 32, 8) == 1
+    assert _auto_upsert_segments(5, 0, 0) == 1
