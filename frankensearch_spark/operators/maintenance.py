@@ -67,8 +67,10 @@ def _auto_upsert_segments(n_rows: int, parallelism: int, num_buckets: int) -> in
     Three forces, mirrorring build_index's auto-sizing at batch scale:
 
     * the posting exchange partitions by (segment, bucket) — a big batch
-      needs ``parallelism / num_buckets`` segments before every core has
-      a task (num_segments=1 throttled a 100k-row commit to B tasks);
+      needs ``2 × parallelism / num_buckets`` segments so every core gets
+      ~2 tasks and stragglers amortize (num_segments=1 throttled a
+      100k-row commit to B tasks; 2 tasks/core A/B-measured ~20% faster
+      than 1 — BENCH.md);
     * tiny (watch-mode) batches must stay at ONE segment — extra segments
       are pure manifest/merge pressure (:data:`UPSERT_MIN_ROWS_PER_SEGMENT`);
     * the per-(segment, term) shuffle-group skew bound caps segment size
@@ -77,7 +79,7 @@ def _auto_upsert_segments(n_rows: int, parallelism: int, num_buckets: int) -> in
     """
     by_parallelism = min(
         -(-int(n_rows) // UPSERT_MIN_ROWS_PER_SEGMENT),
-        -(-max(1, int(parallelism)) // max(1, int(num_buckets))),
+        -(-2 * max(1, int(parallelism)) // max(1, int(num_buckets))),
     )
     by_skew = -(-int(n_rows) // TARGET_DOCS_PER_SEGMENT)
     return max(1, by_parallelism, by_skew)

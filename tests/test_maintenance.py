@@ -635,8 +635,8 @@ def test_auto_upsert_segment_sizing():
 
     assert _auto_upsert_segments(1, 32, 8) == 1
     assert _auto_upsert_segments(6_250, 32, 8) == 1  # watch-mode batch
-    assert _auto_upsert_segments(100_000, 32, 8) == 4  # 4 x 8 = 32 tasks
-    assert _auto_upsert_segments(100_000, 8, 8) == 1  # small cluster
+    assert _auto_upsert_segments(100_000, 32, 8) == 8  # 8 x 8 = 2 tasks/core
+    assert _auto_upsert_segments(100_000, 8, 8) == 2  # small cluster
     # skew bound dominates at bulk scale
     n = 10**9
     assert _auto_upsert_segments(n, 32, 8) == -(-n // TARGET_DOCS_PER_SEGMENT)
