@@ -34,6 +34,7 @@ from typing import Iterator, Optional, Sequence
 
 import json
 import os
+import time
 
 import numpy as np
 import pandas as pd
@@ -360,6 +361,11 @@ class SearchEngine:
                 # frame would crash the first query that touches it.
                 df.count()
             except Exception:
+                try:  # drop the broken frame's cache registration
+                    if df is not None:
+                        df.unpersist()
+                except Exception:
+                    pass
                 # Fall back ONLY for the condition the fallback exists
                 # for — a concurrent rewrite swapped the tombstone
                 # directory and the pinned part files vanished.  Any
@@ -368,36 +374,56 @@ class SearchEngine:
                 # tombstone set the reader scores against.
                 if all(os.path.exists(f) for f in self._tombstone_files):
                     raise
-                try:  # drop the broken frame's cache registration
-                    if df is not None:
-                        df.unpersist()
-                except Exception:
-                    pass
-                # The pinned files are gone (concurrent gc/compaction
-                # rewrite).  Re-derive from the CURRENT table with the
-                # pinned filters (generation ≤ pin, segment ∈ pinned
-                # live set): rewrites preserve every row live readers
-                # need (gc keeps live segments' rows; carry-over keeps
-                # generation-gated rows), so nothing is ever RESURRECTED.
-                # Honest caveat: a delete committed AFTER open at the
-                # SAME pinned generation is indistinguishable from an
-                # open-time row once the files merged, so it becomes
-                # visible early — the drift is monotone-forward
-                # (early delete visibility only) and confined to this
-                # rewrite-race window; exact reconstruction would need
-                # the open-time materialization the zero-job open
-                # forgoes.  The count is refreshed with the frame, so
-                # the two never desync.
-                df, n = self.storage.pinned_tombstones(
-                    self.generation,
-                    live_segments=self.live_segments,
-                    include_unsealed=self._include_unsealed,
-                    gen_state=self._gen_state,
-                )
-                self._tombstone_count = int(n)
+                df = self._rederive_pinned_tombstones()
             self._tombstones_df = df
             self._tombstones_pending = False
         return self._tombstones_df
+
+    def _rederive_pinned_tombstones(self) -> Optional[DataFrame]:
+        """Rebuild the pinned tombstone frame after a rewrite killed the
+        open-time part files.
+
+        Re-derives from the CURRENT table with the pinned filters
+        (generation ≤ pin, segment ∈ pinned live set): rewrites preserve
+        every row live readers need (gc keeps live segments' rows;
+        carry-over keeps generation-gated rows), so nothing is ever
+        resurrected.  Two guarantees make that claim hold:
+
+        * **Lower-bound check.**  Deletes only append and rewrites keep
+          live-segment rows, so any valid re-derivation must see at
+          LEAST the open-time count.  A smaller count means we read a
+          torn state — e.g. ``atomic_rewrite``'s momentary no-directory
+          window between its two renames — so retry briefly, then raise
+          rather than cache a short (doc-resurrecting) set.
+        * **Monotone-forward drift only.**  A delete committed AFTER
+          open at the SAME pinned generation is indistinguishable from
+          an open-time row once the files merged, so it may become
+          visible early — never the reverse.  The count is refreshed
+          with the frame, so the two never desync.
+        """
+        last_n = -1
+        for attempt in range(5):
+            if attempt:
+                time.sleep(0.2 * attempt)
+            df, n = self.storage.pinned_tombstones(
+                self.generation,
+                live_segments=self.live_segments,
+                include_unsealed=self._include_unsealed,
+                gen_state=self._gen_state,
+            )
+            last_n = int(n)
+            if last_n >= self._tombstone_count:
+                self._tombstone_count = last_n
+                return df
+            if df is not None:
+                df.unpersist()
+        raise RuntimeError(
+            "pinned tombstone re-derivation saw only "
+            f"{last_n} of the {self._tombstone_count} open-time tombstones "
+            "— the table was rewritten to a state that no longer covers "
+            "this reader's snapshot (e.g. gc after a compaction that "
+            "superseded its segments); reopen the engine"
+        )
 
     # ── public API ────────────────────────────────────────────────────────
 

@@ -4,7 +4,7 @@ The reference's live-ingest loop (reference: ``fsfs/src/runtime.rs``
 LiveIngestPipeline, plan §2.4) performs per-batch upsert/delete with one
 commit per batch.  The Structured Streaming mapping is ``writeStream.
 foreachBatch``: each micro-batch is deduplicated on the document identity
-and upserted as a fresh mini-segment (the delta-segment analogue — sealed
+and upserted as fresh mini-segments (the delta-segment analogue — sealed
 and manifest-visible at batch commit, folded later by compaction/merge).
 
 Late/duplicate data: ``dropDuplicates`` on the identity inside the batch +
@@ -39,7 +39,12 @@ def transcript_batch_to_docs(batch: DataFrame) -> DataFrame:
 
 
 def upsert_batch(index: LexicalIndex, batch: DataFrame, batch_id: int) -> None:
-    """foreachBatch body: dedup on identity, upsert as one new segment.
+    """foreachBatch body: dedup on identity, upsert as new segment(s).
+
+    Watch-mode micro-batches (< 8,192 changed rows) mint exactly ONE
+    segment; a catch-up batch past that is auto-sized like the cold
+    build (maintenance._auto_upsert_segments) so its posting exchange
+    reaches every core — the tier merge planner absorbs the extra rows.
 
     Idempotent enough for at-least-once delivery: re-upserting the same
     identity tombstones the previous docid and republishes, so replayed

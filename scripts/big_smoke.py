@@ -1,7 +1,7 @@
 """1M-turn integration smoke of the round-4 seams working together:
 build -> catch-up upsert (auto-sized) -> bulk delete -> compact -> gc
-(immediate reclaim) -> zero-job reopen; rank results must be consistent
-before/after gc and the rollup must stay fingerprint-valid throughout."""
+(immediate reclaim) -> zero-job reopen; the post-delete top-k must be identical across gc and the rollup must
+stay fingerprint-valid throughout."""
 import json, time, shutil, sys
 sys.path.insert(0, "/root/repo")
 from frankensearch_spark.session import get_spark
@@ -28,8 +28,6 @@ out["upsert_updates_per_sec"] = round(200_000 / out["upsert_200k_sec"], 0)
 
 idx = LexicalIndex(spark, d)
 q = "w12 w345"
-before = list(zip(idx.search(q, limit=20).hits["doc_id"],
-                  idx.search(q, limit=20).hits["score"]))
 
 t0 = time.time()
 victims = idx.storage.read("docs").select("doc_id").limit(100_000)

@@ -459,3 +459,23 @@ def test_lazy_tombstone_fallback_semantics(spark, tmp_path_factory):
     assert ids[1] not in visible  # documented drift: visible EARLY
     assert len(visible) == len(ids) - 2  # nothing resurrected
     assert eng2._tombstone_count == 2  # count refreshed with the frame
+
+
+def test_lazy_tombstone_fallback_refuses_short_rederivation(spark, tmp_path_factory):
+    """If the re-derived tombstone set covers FEWER docids than the
+    open-time count — e.g. the fallback read atomic_rewrite's momentary
+    no-directory window, or gc dropped this reader's rows after a
+    compaction — the engine must raise (reopen required), never cache
+    the short set: caching 0 would silently resurrect deleted docs."""
+    import shutil as _shutil
+
+    idx, d = _build(spark, tmp_path_factory, "os_fb_short")
+    ids = list(idx.search("w1", limit=400).hits["doc_id"])
+    idx.delete([ids[0]])
+    reader = LexicalIndex(spark, d)
+    eng = reader.engine
+    assert eng._tombstones_pending and eng._tombstone_count == 1
+    # simulate the torn window outliving the retries: the table vanishes
+    _shutil.rmtree(idx.storage.path("tombstones"))
+    with pytest.raises(RuntimeError, match="reopen the engine"):
+        reader.search("w1", limit=5)
