@@ -56,6 +56,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.analyze import tokenize_batch
+from ..plans.localrel import values_frame
 from ..functions.codec import encode_entries_expr
 from ..functions.contract import POSTINGS_PER_BLOCK, fieldnorm_to_id
 from ..sources.storage import IndexMeta, IndexStorage
@@ -279,7 +280,7 @@ def write_segment_tables(
     # wholesale by its replay's dynamic partition overwrite.
     from concurrent.futures import ThreadPoolExecutor
 
-    def _doclens_then_stats() -> DataFrame:
+    def _doclens_then_stats() -> tuple[DataFrame, list]:
         _write_doclens(slim, storage, meta, "overwrite")
         return _write_stats(storage, meta, sm_mode, new_segments)
 
@@ -305,14 +306,42 @@ def write_segment_tables(
         f_stats = pool.submit(_doclens_then_stats)
         f_docs.result()
         f_postings.result()
-        seg = f_stats.result()
+        seg_local, seg_rows = f_stats.result()
     if pre_publish is not None:
         pre_publish()
-    _write_manifest(seg, storage, meta, sm_mode, status=manifest_status)
+    _write_manifest(seg_local, storage, meta, sm_mode, status=manifest_status)
     # commit-time open-state rollup: engines open with zero Spark jobs
     # (sources/storage.py OPEN_STATE); written after the manifest append
-    # so a crash here only leaves a stale-fingerprint file (safe fallback)
-    storage.write_open_state()
+    # so a crash here only leaves a stale-fingerprint file (safe fallback).
+    # A fresh (overwrite) build already holds everything the rollup would
+    # recompute — publish it driver-side (footer-verified, zero jobs);
+    # appends and staged/tombstoned commits take the full rollup.
+    published = False
+    if sm_mode == "overwrite" and pre_publish is None and manifest_status == "sealed":
+        published = storage.write_open_state_from_build(
+            manifest_rows=[
+                [
+                    int(r["segment_id"]),
+                    int(meta.generation),
+                    None,
+                    manifest_status,
+                    None,
+                    int(r["docid_lo"]),
+                    int(r["docid_hi"]) + 1,  # half-open, matches _write_manifest
+                ]
+                for r in seg_rows
+            ],
+            stats={
+                f: [
+                    sum(int(r["doc_count"]) for r in seg_rows),
+                    sum(int(r[f"tokens_{f}"] or 0) for r in seg_rows),
+                ]
+                for f in meta.text_fields
+            },
+            expected_stats_rows=len(seg_rows) * len(meta.text_fields),
+        )
+    if not published:
+        storage.write_open_state()
 
 
 # ── step 1+2: docid assignment + tokenization ──────────────────────────────
@@ -837,10 +866,20 @@ def _write_stats(
     meta: IndexMeta,
     mode: str,
     new_segments: list[int],
-) -> DataFrame:
+) -> tuple[DataFrame, list]:
     """Per-segment rollup from the just-written doclens TABLE (not the slim
     cache): the parquet read prunes to exactly the scalar len columns,
-    while a slim-cache scan would deserialize every posting array again."""
+    while a slim-cache scan would deserialize every posting array again.
+
+    The rollup is collected ONCE (O(new segments) driver rows) and the
+    field_stats / manifest tables are written from a LOCAL frame built on
+    it: writing straight from the distributed plan under ``coalesce(1)``
+    pulled the whole doclens scan+agg into a single task (no shuffle
+    under coalesce — the round-4 dict-fold serialization bug, again), and
+    the manifest write re-ran the identical aggregation a second time.
+    Returns ``(seg_local, seg_rows)`` — the local frame keeps the exact
+    schema the distributed plan produced, so appended parquet types
+    cannot drift."""
     aggs = [
         F.count("*").alias("doc_count"),
         F.min("docid").alias("docid_lo"),
@@ -854,10 +893,22 @@ def _write_stats(
         .groupBy("segment_id")
         .agg(*aggs)
     )
+    seg_rows = seg.collect()
+    # VALUES-backed LocalRelation (plans/localrel.py), NOT createDataFrame:
+    # the RDD-backed local plan schedules a Python worker per write task
+    # (measured 4-8 s per tiny write on this host); the inline table stays
+    # JVM-side.  The DDL is derived from the distributed plan's own schema
+    # so appended parquet types cannot drift.
+    ddl = ", ".join(
+        f"{fld.name} {fld.dataType.simpleString()}" for fld in seg.schema.fields
+    )
+    seg_local = values_frame(
+        storage.spark, [tuple(r) for r in seg_rows], ddl
+    )
     rows = []
     for f in meta.text_fields:
         rows.append(
-            seg.select(
+            seg_local.select(
                 "segment_id",
                 F.lit(f).alias("field"),
                 "doc_count",
@@ -870,7 +921,7 @@ def _write_stats(
     for r in rows[1:]:
         stats = stats.unionByName(r)
     storage.write_table(stats, "field_stats", mode, coalesce=1)
-    return seg
+    return seg_local, seg_rows
 
 
 def _write_manifest(

@@ -697,7 +697,11 @@ class IndexStorage:
         state = parsed[1]
         if state.get("fingerprint") != self._dir_fingerprint():
             return None
-        return state
+        # deep copy: the parse cache entry is shared process-wide across
+        # every IndexStorage on this index_dir; handing out the cached
+        # object itself would let a caller mutation (even of a nested
+        # stats/fingerprint value) silently corrupt all future opens.
+        return json.loads(json.dumps(state))
 
     def write_open_state(
         self,
@@ -789,17 +793,27 @@ class IndexStorage:
         with open(tmp, "w") as fh:
             json.dump(state, fh)
         dst = os.path.join(self.index_dir, OPEN_STATE)
+        try:
+            tmp_size = os.stat(tmp).st_size
+        except OSError:
+            tmp_size = None
         os.replace(tmp, dst)
         # seed the parse cache with what we just wrote: the next
         # mutation's pre-capture (and the next zero-job open in this
         # process) skips re-parsing the O(manifest-history) document.
         # Round-trip through JSON so the cached object has the exact
         # types a file parse would yield (tuples become lists etc.).
+        # The destination is stat'ed AFTER os.replace, so a concurrent
+        # writer replacing OPEN_STATE in that window could hand us ITS
+        # (mtime, size) key; only seed when the post-replace size equals
+        # the bytes THIS writer produced — a size match with different
+        # content is caught by every consumer's fingerprint re-check.
         try:
             st = os.stat(dst)
-            self._seed_parse_cache(
-                (st.st_mtime_ns, st.st_size), json.loads(json.dumps(state))
-            )
+            if tmp_size is not None and st.st_size == tmp_size:
+                self._seed_parse_cache(
+                    (st.st_mtime_ns, st.st_size), json.loads(json.dumps(state))
+                )
         except OSError:
             pass
 
@@ -855,6 +869,59 @@ class IndexStorage:
         self._store_open_state(state)
         return True
 
+    def write_open_state_from_build(
+        self,
+        manifest_rows: list,
+        stats: dict,
+        expected_stats_rows: int,
+    ) -> bool:
+        """Zero-Spark-job open-state publish for a FRESH (overwrite) build.
+
+        The build just wrote the whole index from scratch, so it already
+        holds — driver-side — everything the rollup would recompute with
+        ~3 Spark jobs: the exact manifest rows it published, the
+        per-field stats rollup, and a tombstone count of zero (overwrite
+        cleared the tables).  ``manifest_rows`` use the compact on-disk
+        list shape ``[segment_id, generation, sealed_at, status,
+        superseded_at, docid_lo, docid_hi]``.
+
+        Exactness is verified driver-side before writing (same
+        discipline as :meth:`_write_open_state_incremental`): the
+        tombstone listing must be empty, and the parquet footers of the
+        manifest / field_stats files must account for exactly the rows
+        this build wrote — a concurrent writer's rows landing in the
+        window breaks footer equality and we return False (caller falls
+        back to the full rollup, the fail-safe direction).
+        """
+        fingerprint = self._dir_fingerprint()
+        if fingerprint.get("tombstones"):
+            return False
+        try:
+            import pyarrow.parquet as pq
+
+            for table, expected in (
+                ("manifest", len(manifest_rows)),
+                ("field_stats", expected_stats_rows),
+            ):
+                root = self.path(table)
+                n = sum(
+                    pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                    for f in fingerprint.get(table) or []
+                )
+                if n != expected:
+                    return False
+        except Exception:
+            return False
+        state = {
+            "version": OPEN_STATE_VERSION,
+            "fingerprint": fingerprint,
+            "manifest_rows": manifest_rows,
+            "stats": stats,
+            "tombstone_count": 0,
+        }
+        self._store_open_state(state)
+        return True
+
     def stats_rollup(self, stats_df: DataFrame) -> dict[str, tuple[int, int]]:
         """field → (Σ doc_count, Σ total_tokens) over a field_stats frame.
 
@@ -904,7 +971,11 @@ class IndexStorage:
         cached = getattr(self, "_open_state_cache", None)
         if cached is not None and cached[0] == cache_key:
             return cached[1]
-        state = dict(raw)
+        # dict(raw) is a shallow copy: without the round-trip the nested
+        # stats/fingerprint objects would still BE the process-wide parse
+        # cache's, and a caller mutating them would corrupt every future
+        # open in this process (the converted rows below are always fresh)
+        state = json.loads(json.dumps(raw))
         state["manifest_rows"] = [
             {
                 "segment_id": seg,
