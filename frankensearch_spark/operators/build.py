@@ -65,6 +65,12 @@ from ..sources.storage import IndexMeta, IndexStorage
 #: per-(segment, term) shuffle-group state — the Q1 skew discipline).
 TARGET_DOCS_PER_SEGMENT = 1 << 18
 
+#: Below this many docs the per-segment stats rollup aggregates the slim
+#: cache directly (posting arrays are tiny; doclens write + stats rollup
+#: parallelize); above it, re-reading the doclens parquet prunes to the
+#: scalar columns and avoids re-deserializing every posting array.
+STATS_FROM_SLIM_MAX_DOCS = 32_768
+
 
 def content_hash_expr(meta: "IndexMeta", df: DataFrame):
     """The per-doc content witness: xxhash64 over the text source columns.
@@ -167,12 +173,13 @@ def append_segment_batch(
     storage: IndexStorage,
     meta: IndexMeta,
     sort_cols: list[str],
-    num_segments: int,
+    num_segments: Optional[int],
     docid_base: int,
     segment_base: int,
     mode: str = "append",
     pre_publish=None,
     manifest_status: str = "sealed",
+    num_segments_fn=None,
 ) -> list[int]:
     """Tokenize + index one batch of documents as ``num_segments`` new
     segments starting at ``segment_base`` with docids from ``docid_base``.
@@ -180,7 +187,12 @@ def append_segment_batch(
     All table writes are append-only (except the initial ``overwrite``
     build); visibility is controlled by the manifest rows written last —
     the analogue of the reference's seal-then-publish commit protocol
-    (``index.rs:6054``).  Returns the new segment ids.
+    (``index.rs:6054``).  Returns the new segment ids — ``[]`` when the
+    input was empty (nothing written, nothing published).
+
+    ``num_segments=None`` + ``num_segments_fn`` sizes the segment count
+    from the measured row count without a dedicated count job (upsert's
+    watch-mode path; see _assign_docids_and_tokenize).
     """
     if mode == "append":
         # no mixed dictionary state: appending embedded-dictionary blocks
@@ -192,7 +204,7 @@ def append_segment_batch(
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     prev_coalesce = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
-    ranged, docs_frame, slim = _assign_docids_and_tokenize(
+    ranged, docs_frame, slim, n_docs, num_segments = _assign_docids_and_tokenize(
         spark,
         df,
         meta,
@@ -200,9 +212,14 @@ def append_segment_batch(
         num_segments=num_segments,
         docid_base=docid_base,
         segment_base=segment_base,
+        num_segments_fn=num_segments_fn,
     )
     from pyspark import StorageLevel
 
+    if n_docs == 0:
+        ranged.unpersist()
+        spark.conf.set(coalesce_key, prev_coalesce)
+        return []
     # DISK_ONLY: the slim tokenized frame (ids + postings, NO text or
     # stored columns) is read by three downstream stages but must not
     # occupy unified heap memory (it starves the posting build's
@@ -257,25 +274,38 @@ def write_segment_tables(
     possible crash-replay duplicates are deduplicated by every reader —
     except on the initial full build (mode="overwrite"), which resets them.
 
-    ``pre_publish`` (if given) runs after every data table is durable but
-    BEFORE the manifest append — the publish point.  Upsert stages its
-    tombstones there so delete-of-old and add-of-new become visible in
-    the same manifest generation (atomic for readers).
+    ``pre_publish`` (if given) runs concurrently with the data-table
+    writes but strictly BEFORE the manifest append — the publish point.
+    Upsert stages its tombstones there so delete-of-old and add-of-new
+    become visible in the same manifest generation (atomic for readers).
+    Concurrency is safe because the staging writes touch only the
+    tombstones table and its reads scope to the PRIOR live segments —
+    partition pruning never lets it see this batch's half-committed
+    segment directories — and the rows it stages are tagged with the
+    not-yet-published generation, invisible until the manifest append.
+    Its return value (newly staged distinct docids, or None) feeds the
+    incremental open-state publish.
     """
     sm_mode = "overwrite" if mode == "overwrite" else "append"
     if new_segments is None:
         new_segments = [
             r["segment_id"] for r in slim.select("segment_id").distinct().collect()
         ]
-    # The three data-table writers are independent jobs over already-
+    # Incremental open-state base: capture BEFORE the first table write so
+    # a valid fingerprint proves the stored rollup describes the
+    # pre-mutation tables exactly (None on a fresh dir / stale rollup).
+    prior_raw = storage.open_state_raw() if sm_mode == "append" else None
+    # The data-table writers are independent jobs over already-
     # materialized caches writing to DIFFERENT tables (docs <- ranged
     # cache; doclens and postings <- slim cache), so they run on driver
     # threads: each job's driver-side planning + commit-protocol renames
     # overlap another job's executor work instead of serializing with it,
-    # and the cluster never idles between jobs.  Dependencies stay
-    # explicit: stats follows doclens (same thread), and the
-    # manifest append — the publish point — happens strictly after every
-    # data table is durable, exactly as before.  Crash semantics are
+    # and the cluster never idles between jobs.  The tombstone staging
+    # (pre_publish) rides a fourth thread for the same reason.
+    # Dependencies stay explicit: stats follows doclens when it reads the
+    # doclens table (same thread), and the manifest append — the publish
+    # point — happens strictly after every data table is durable AND the
+    # staging completed, exactly as before.  Crash semantics are
     # unchanged: an interrupted batch left unpublished is replaced
     # wholesale by its replay's dynamic partition overwrite.
     from concurrent.futures import ThreadPoolExecutor
@@ -284,7 +314,8 @@ def write_segment_tables(
         _write_doclens(slim, storage, meta, "overwrite")
         return _write_stats(storage, meta, sm_mode, new_segments)
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        f_pre = pool.submit(pre_publish) if pre_publish is not None else None
         f_docs = pool.submit(_write_docs, docs_frame, storage, meta, "overwrite")
         if n_docs is None:
             # Materialize the one tokenize pass (the slim cache) on the
@@ -303,42 +334,65 @@ def write_segment_tables(
             None,
             n_docs,
         )
-        f_stats = pool.submit(_doclens_then_stats)
+        # Small batches compute the stats rollup straight from the slim
+        # cache (no doclens-table dependency -> doclens and stats
+        # parallelize); big batches read the just-written doclens parquet,
+        # which prunes to the scalar len columns instead of
+        # re-deserializing every posting array.
+        if n_docs <= STATS_FROM_SLIM_MAX_DOCS:
+            f_doclens = pool.submit(_write_doclens, slim, storage, meta, "overwrite")
+            f_stats = pool.submit(
+                _write_stats, storage, meta, sm_mode, new_segments, slim
+            )
+            f_doclens.result()
+        else:
+            f_stats = pool.submit(_doclens_then_stats)
         f_docs.result()
         f_postings.result()
         seg_local, seg_rows = f_stats.result()
-    if pre_publish is not None:
-        pre_publish()
+        staged_tombstones = f_pre.result() if f_pre is not None else None
     _write_manifest(seg_local, storage, meta, sm_mode, status=manifest_status)
     # commit-time open-state rollup: engines open with zero Spark jobs
     # (sources/storage.py OPEN_STATE); written after the manifest append
     # so a crash here only leaves a stale-fingerprint file (safe fallback).
-    # A fresh (overwrite) build already holds everything the rollup would
-    # recompute — publish it driver-side (footer-verified, zero jobs);
-    # appends and staged/tombstoned commits take the full rollup.
+    # Both commit shapes publish it driver-side when exactness holds
+    # (footer-verified, zero jobs): a fresh build holds everything the
+    # rollup would recompute, and an append commit is prior state + this
+    # batch's delta.  Anything else falls back to the full rollup.
+    new_manifest_rows = [
+        [
+            int(r["segment_id"]),
+            int(meta.generation),
+            None,
+            manifest_status,
+            None,
+            int(r["docid_lo"]),
+            int(r["docid_hi"]) + 1,  # half-open, matches _write_manifest
+        ]
+        for r in seg_rows
+    ]
+    new_stats = {
+        f: [
+            sum(int(r["doc_count"]) for r in seg_rows),
+            sum(int(r[f"tokens_{f}"] or 0) for r in seg_rows),
+        ]
+        for f in meta.text_fields
+    }
     published = False
     if sm_mode == "overwrite" and pre_publish is None and manifest_status == "sealed":
         published = storage.write_open_state_from_build(
-            manifest_rows=[
-                [
-                    int(r["segment_id"]),
-                    int(meta.generation),
-                    None,
-                    manifest_status,
-                    None,
-                    int(r["docid_lo"]),
-                    int(r["docid_hi"]) + 1,  # half-open, matches _write_manifest
-                ]
-                for r in seg_rows
-            ],
-            stats={
-                f: [
-                    sum(int(r["doc_count"]) for r in seg_rows),
-                    sum(int(r[f"tokens_{f}"] or 0) for r in seg_rows),
-                ]
-                for f in meta.text_fields
-            },
+            manifest_rows=new_manifest_rows,
+            stats=new_stats,
             expected_stats_rows=len(seg_rows) * len(meta.text_fields),
+        )
+    elif sm_mode == "append" and prior_raw is not None:
+        published = storage.write_open_state_append(
+            prior_raw,
+            manifest_rows=new_manifest_rows,
+            stats_delta=new_stats,
+            expected_stats_rows=len(seg_rows) * len(meta.text_fields),
+            tombstones_appended=int(staged_tombstones or 0),
+            sealed=(manifest_status == "sealed"),
         )
     if not published:
         storage.write_open_state()
@@ -352,11 +406,12 @@ def _assign_docids_and_tokenize(
     df: DataFrame,
     meta: IndexMeta,
     sort_cols: list[str],
-    num_segments: int,
+    num_segments: Optional[int],
     docid_base: int = 0,
     segment_base: int = 0,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Returns ``(ranged, docs_frame, slim)``.
+    num_segments_fn=None,
+) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
+    """Returns ``(ranged, docs_frame, slim, n_docs, num_segments)``.
 
     ``ranged`` is the pinned range-partitioned input (caller unpersists
     after the docs write and the slim materialization).  ``docs_frame``
@@ -366,6 +421,9 @@ def _assign_docids_and_tokenize(
     persist and every downstream read stay posting-sized.  Both passes
     read the SAME pinned partitions with the same prefix-sum bases, so
     they assign identical docids.
+
+    ``num_segments=None`` + ``num_segments_fn`` defers segment sizing to
+    the measured row count (see the deferred-sizing comment below).
     """
     passthrough = _passthrough_columns(df, meta)
     text_sources = [
@@ -379,11 +437,26 @@ def _assign_docids_and_tokenize(
     # Sub-partition each segment k ways: the tokenize pass parallelism is
     # otherwise capped at num_segments.  Docids stay the rank in the total
     # order (range partitions are ordered, prefix-sum bases span them) and
-    # each segment owns k consecutive partitions = one contiguous docid
-    # range, so segment layout invariants are unchanged.
+    # each segment owns a run of consecutive partitions = one contiguous
+    # docid range, so segment layout invariants are unchanged.
+    #
+    # Deferred sizing (``num_segments_fn``): upsert batches size their
+    # segment count from the CHANGED row count, which used to cost a
+    # dedicated count job over the content-hash anti-join before this
+    # function even ran.  Instead, partition at full parallelism, let the
+    # partition-count job below (which must run anyway for the docid
+    # prefix sums) produce the row count as a by-product, and derive the
+    # segment count from it — one serial job instead of two.
     parallelism = spark.sparkContext.defaultParallelism
-    k = max(1, min(8, parallelism // max(1, num_segments)))
-    num_parts = num_segments * k
+    if num_segments is None:
+        # honor a caller-scoped shuffle.partitions (the stream sink dials
+        # it down for micro-batches) so tiny batches don't pin a
+        # 32-partition cache that every downstream job re-schedules
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "64"))
+        num_parts = max(1, min(parallelism, conf_parts))
+    else:
+        k = max(1, min(8, parallelism // max(1, num_segments)))
+        num_parts = num_segments * k
     ranged = (
         df.select(*dict.fromkeys(select_cols))
         .withColumn("content_hash", content_hash_expr(meta, df))
@@ -407,11 +480,27 @@ def _assign_docids_and_tokenize(
         .collect()
     )
     count_map = {r["pid"]: r["count"] for r in counts}
+    n_total = sum(count_map.values())
+    if num_segments is None:
+        num_segments = max(1, int(num_segments_fn(n_total))) if n_total else 1
+        if num_segments > num_parts:
+            # a catch-up batch so large it wants more segments than the
+            # partitioning can host: re-range with the resolved count
+            # (rare — pays the classic extra pass only where it's cheap
+            # relative to the batch itself)
+            ranged.unpersist()
+            return _assign_docids_and_tokenize(
+                spark, df, meta, sort_cols, num_segments,
+                docid_base=docid_base, segment_base=segment_base,
+            )
     bases: dict[int, int] = {}
     running = docid_base
     for pid in range(num_parts):
         bases[pid] = running
         running += count_map.get(pid, 0)
+    # contiguous partition->segment grouping; for the classic path
+    # (num_parts = num_segments * k) this is exactly pid // k
+    seg_count = num_segments
 
     docs_fields = [
         StructField("docid", LongType(), False),
@@ -454,7 +543,13 @@ def _assign_docids_and_tokenize(
 
         return (
             pa.array(np.arange(offset, offset + n, dtype=np.int64)),
-            pa.array(np.full(n, segment_base + pid // k, dtype=np.int32)),
+            pa.array(
+                np.full(
+                    n,
+                    segment_base + (pid * seg_count) // num_parts,
+                    dtype=np.int32,
+                )
+            ),
         )
 
     def assign_docs(batches):
@@ -535,6 +630,8 @@ def _assign_docids_and_tokenize(
         ranged,
         ranged.mapInArrow(assign_docs, schema=docs_schema),
         ranged.mapInArrow(assign_tokens, schema=slim_schema),
+        n_total,
+        num_segments,
     )
 
 
@@ -774,6 +871,14 @@ def _write_postings(
     )
     if n_docs is None:
         n_parts = max(conf_parts, n_groups)
+    elif n_docs <= STATS_FROM_SLIM_MAX_DOCS:
+        # Watch-mode delta batches: size the exchange to the DATA alone.
+        # The conf floor exists so big builds never under-parallelize, but
+        # a 6k-row micro-batch under it schedules n_groups near-empty
+        # reduce tasks and commits one parquet file per (segment, bucket)
+        # dir — pure fixed cost.  Fewer reducers still write one file per
+        # directory (a task writes every group it owns).
+        n_parts = max(1, min(n_groups, -(-n_docs // 2000)))
     else:
         n_parts = min(n_groups, max(conf_parts, -(-n_docs // 4000)))
     per_doc = (
@@ -866,10 +971,15 @@ def _write_stats(
     meta: IndexMeta,
     mode: str,
     new_segments: list[int],
+    slim: Optional[DataFrame] = None,
 ) -> tuple[DataFrame, list]:
     """Per-segment rollup from the just-written doclens TABLE (not the slim
     cache): the parquet read prunes to exactly the scalar len columns,
     while a slim-cache scan would deserialize every posting array again.
+    Small batches pass ``slim`` to aggregate the cached frame directly
+    instead — the posting arrays are tiny there, and dropping the
+    doclens-table dependency lets the doclens write and the stats rollup
+    run in parallel (one less serialized job on the upsert commit path).
 
     The rollup is collected ONCE (O(new segments) driver rows) and the
     field_stats / manifest tables are written from a LOCAL frame built on
@@ -886,13 +996,13 @@ def _write_stats(
         F.max("docid").alias("docid_hi"),
     ]
     for f in meta.text_fields:
-        aggs.append(F.sum(f"len_{f}").alias(f"tokens_{f}"))
-    seg = (
-        storage.read("doclens")
-        .where(F.col("segment_id").isin(new_segments))
-        .groupBy("segment_id")
-        .agg(*aggs)
+        aggs.append(F.sum(f"len_{f}").cast("long").alias(f"tokens_{f}"))
+    src = (
+        slim
+        if slim is not None
+        else storage.read("doclens").where(F.col("segment_id").isin(new_segments))
     )
+    seg = src.groupBy("segment_id").agg(*aggs)
     seg_rows = seg.collect()
     # VALUES-backed LocalRelation (plans/localrel.py), NOT createDataFrame:
     # the RDD-backed local plan schedules a Python worker per write task

@@ -289,23 +289,27 @@ class IndexMaintenance:
                     on=["doc_id", "_chash"],
                     how="left_anti",
                 )
+        # persist WITHOUT counting: the docid range partitioner's sample
+        # pass materializes the cache as a side effect, and the partition
+        # count job inside append_segment_batch (needed anyway for the
+        # docid prefix sums) reports the changed-row count — the dedicated
+        # count job this path used to pay per micro-batch is gone.
         changed = changed.drop("_chash").persist()
+        prior_generation = self.meta.generation
         try:
-            n_changed = changed.count()
-            if not n_changed:
-                return []
-            if num_segments is None:
-                # Size the batch build like build_index does: the posting
-                # exchange partitions by (segment, bucket), so a fixed
-                # num_segments=1 throttled a 100k-row commit to B tasks on
-                # any cluster (measured 2.4x slower than 4 segments at
-                # local[32]); micro-batches stay at 1 segment — no
-                # manifest/merge pressure for watch-mode.
-                num_segments = _auto_upsert_segments(
-                    n_changed,
-                    self.spark.sparkContext.defaultParallelism,
-                    self.meta.num_buckets,
-                )
+            # Size the batch build like build_index does: the posting
+            # exchange partitions by (segment, bucket), so a fixed
+            # num_segments=1 throttled a 100k-row commit to B tasks on
+            # any cluster (measured 2.4x slower than 4 segments at
+            # local[32]); micro-batches stay at 1 segment — no
+            # manifest/merge pressure for watch-mode.  Deferred via
+            # num_segments_fn so it keys on the measured changed count.
+            parallelism = self.spark.sparkContext.defaultParallelism
+            num_buckets = self.meta.num_buckets
+
+            def auto_segments(n_changed: int) -> int:
+                return _auto_upsert_segments(n_changed, parallelism, num_buckets)
+
             # UNIQUE across sealed AND pending-unsealed commits: if a
             # sealed commit reused a pending batch's generation, a reader
             # pinning the sealed generation would activate the pending
@@ -316,7 +320,9 @@ class IndexMaintenance:
             self.meta.generation = gen_next
 
             def stage_tombstones():
-                self.delete_frame(
+                # count (newly staged distinct docids) feeds the commit's
+                # incremental open-state publish (write_segment_tables)
+                return self.delete_frame(
                     changed.select("doc_id"),
                     generation=gen_next,
                     include_unsealed=True,
@@ -334,7 +340,12 @@ class IndexMaintenance:
                 segment_base=segment_base,
                 pre_publish=stage_tombstones,
                 manifest_status="sealed" if seal else "unsealed",
+                num_segments_fn=auto_segments if num_segments is None else None,
             )
+            if not segments:
+                # nothing changed: nothing was written or published
+                self.meta.generation = prior_generation
+                return []
             if seal:
                 self.storage.write_meta(self.meta)
             else:

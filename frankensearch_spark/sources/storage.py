@@ -68,6 +68,15 @@ OPEN_STATE_VERSION = 2
 _OPEN_STATE_PARSE_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
 _OPEN_STATE_PARSE_CACHE_MAX = 16
 
+#: Process-wide parquet-schema cache for table reads, keyed by
+#: (index_dir, table) with (root mtime_ns, entry count) validity —
+#: module-level for the same reason as the open-state parse cache.  Any
+#: append or rewrite touches the table root (new part file or partition
+#: dir), invalidating the entry; partition-internal rewrites (crash
+#: replay) carry an identical schema by construction.
+_SCHEMA_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_SCHEMA_CACHE_MAX = 64
+
 #: Broadcast the tombstone docid set into anti-joins only while it is at
 #: most this many rows.  A broadcast materializes the whole set on the
 #: driver AND once per executor; past ~10^7 docids (~80 MB of longs plus
@@ -192,18 +201,48 @@ class IndexStorage:
     def read(self, table: str) -> DataFrame:
         if table == "terms":
             return self._read_terms()
+        path = self.path(table)
+        # Schema cache: every uncached load() runs a footer-inference job
+        # (mergeSchema: one per footer), and a single upsert commit reads
+        # docs/tombstones/manifest several times — at watch-mode batch
+        # sizes those 1-task jobs are pure launch latency.  Keyed on the
+        # root directory's (mtime_ns, entry count): any append/rewrite
+        # creates or removes a file/partition-dir at the root, and
+        # partition-internal rewrites (crash replay) carry the identical
+        # schema by construction.  Module-level, like the open-state parse
+        # cache (the maintenance facade builds a fresh IndexStorage per
+        # mutation).
+        try:
+            st = os.stat(path)
+            key = (st.st_mtime_ns, len(os.listdir(path)))
+        except OSError:
+            key = None
+        if key is not None:
+            cached = _SCHEMA_CACHE.get((self.index_dir, table))
+            if cached is not None and cached[0] == key:
+                return (
+                    self.spark.read.format(self.format)
+                    .schema(cached[1])
+                    .load(path)
+                )
         if table == "manifest":
             # a legacy manifest appended to by history-retaining code mixes
             # files with and without superseded_at; parquet samples ONE
             # footer unless schemas are merged — the table is a handful of
             # rows, so merging is free and the column surfaces as NULL for
             # legacy rows (= never superseded, the correct reading)
-            return (
+            df = (
                 self.spark.read.format(self.format)
                 .option("mergeSchema", "true")
-                .load(self.path(table))
+                .load(path)
             )
-        return self.spark.read.format(self.format).load(self.path(table))
+        else:
+            df = self.spark.read.format(self.format).load(path)
+        if key is not None:
+            _SCHEMA_CACHE[(self.index_dir, table)] = (key, df.schema)
+            while len(_SCHEMA_CACHE) > _SCHEMA_CACHE_MAX:
+                _SCHEMA_CACHE.popitem(last=False)
+        return df
 
     def _read_terms(self) -> DataFrame:
         """The term dictionary as a LOGICAL table.
@@ -919,6 +958,102 @@ class IndexStorage:
             "stats": stats,
             "tombstone_count": 0,
         }
+        self._store_open_state(state)
+        return True
+
+    def write_open_state_append(
+        self,
+        prior_raw: dict,
+        manifest_rows: list,
+        stats_delta: dict,
+        expected_stats_rows: int,
+        tombstones_appended: int,
+        sealed: bool,
+    ) -> bool:
+        """Zero-Spark-job open-state publish for an APPEND commit (upsert
+        / delta staging): prior state + exactly this batch's delta.
+
+        ``prior_raw`` is :meth:`open_state_raw` captured BEFORE the
+        batch's first table write (fingerprint-valid == describes the
+        pre-mutation tables exactly).  ``manifest_rows`` are the compact
+        rows this batch appended; ``stats_delta`` its per-field
+        [docs, tokens] sums; ``tombstones_appended`` the distinct NEW
+        docids its staged deletes wrote (0 when none).
+
+        Semantics mirror the full rollup exactly:
+
+        * sealed commit → the new segments are live: stats grow by the
+          delta and the staged tombstones activate (count grows).  Only
+          taken when NO unsealed batches are pending — a pending batch's
+          staged generation below ours would interact with activation
+          order, so that case falls back to the full rollup.
+        * unsealed commit → nothing is visible to default readers yet:
+          stats and tombstone_count carry over UNCHANGED (the manifest
+          rows alone record the pending batch; they activate at seal(),
+          which runs the full rollup).
+
+        Exactness is footer-verified per table (prior files must survive
+        untouched; the added files must account for exactly this batch's
+        rows) — any concurrent writer breaks equality and we return False
+        (caller falls back to the full rollup)."""
+        if prior_raw is None:
+            return False
+        prior_rows = prior_raw.get("manifest_rows") or []
+        # Crash-replay guard: a replayed batch re-appends manifest/stats
+        # rows for segment ids the crashed attempt already published.
+        # Readers dedup those by design, but prior + delta would count
+        # them twice — fall back to the full (deduping) rollup.
+        prior_segs = {int(r[0]) for r in prior_rows}
+        if any(int(r[0]) in prior_segs for r in manifest_rows):
+            return False
+        if sealed:
+            for row in prior_rows:
+                if row[3] == "unsealed":
+                    return False
+        fingerprint = self._dir_fingerprint()
+        prior_fp = prior_raw.get("fingerprint") or {}
+        try:
+            import pyarrow.parquet as pq
+
+            for table, expected in (
+                ("manifest", len(manifest_rows)),
+                ("field_stats", expected_stats_rows),
+                ("tombstones", int(tombstones_appended)),
+            ):
+                old = set(prior_fp.get(table) or [])
+                new = set(fingerprint.get(table) or [])
+                if not old <= new:
+                    return False  # a prior file vanished: not a pure append
+                root = self.path(table)
+                n = sum(
+                    pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                    for f in sorted(new - old)
+                )
+                if n != expected:
+                    return False
+        except Exception:
+            return False
+        state = json.loads(json.dumps(prior_raw))
+        state["fingerprint"] = fingerprint
+        state["manifest_rows"] = list(state["manifest_rows"]) + list(manifest_rows)
+        if sealed:
+            stats = state.get("stats") or {}
+            prior_live = {
+                int(r[0])
+                for r in prior_raw.get("manifest_rows") or []
+                if r[3] == "sealed" and r[4] is None
+            }
+            if prior_live and not stats:
+                return False  # stats table unreadable for live segments
+            for f, (d, t) in (
+                (k, (v[0], v[1])) for k, v in stats_delta.items()
+            ):
+                base = stats.get(f, [0, 0])
+                stats[f] = [int(base[0]) + int(d), int(base[1]) + int(t)]
+            state["stats"] = stats
+            state["tombstone_count"] = int(
+                state.get("tombstone_count") or 0
+            ) + int(tombstones_appended)
         self._store_open_state(state)
         return True
 

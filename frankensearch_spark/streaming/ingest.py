@@ -1,21 +1,31 @@
 """Structured Streaming incremental ingest (the watch-mode analogue).
 
 The reference's live-ingest loop (reference: ``fsfs/src/runtime.rs``
-LiveIngestPipeline, plan §2.4) performs per-batch upsert/delete with one
-commit per batch.  The Structured Streaming mapping is ``writeStream.
-foreachBatch``: each micro-batch is deduplicated on the document identity
-and upserted as fresh mini-segments (the delta-segment analogue — sealed
-and manifest-visible at batch commit, folded later by compaction/merge).
+LiveIngestPipeline, plan §2.4) performs per-batch upsert/delete and
+debounces the expensive lexical publish behind an adaptive window
+(``lexical_debounce_window_ms``): writes become durable+visible to the
+live tier immediately, while the sealed commit runs on a cadence.  The
+Structured Streaming mapping is ``writeStream.foreachBatch`` staging each
+micro-batch as UNSEALED delta segments (``upsert(seal=False)`` — durable,
+replayable, visible to ``include_unsealed=True`` readers immediately) and
+sealing on a cadence (every N batches or T seconds): one manifest rewrite
++ generation commit publishes the whole window to default readers, the
+debounce-window analogue.
 
 Late/duplicate data: ``dropDuplicates`` on the identity inside the batch +
 upsert-by-id across batches (delete old docid + add under a new docid) —
 the same semantics as the reference's content-identity upsert path
-(``storage/src/content_hash.rs`` per plan §2.4).
+(``storage/src/content_hash.rs`` per plan §2.4).  Crash between staging
+and seal: the checkpoint replays the window's batches; re-upserting the
+same identities tombstones the pending copies, so replay converges
+(duplicate-then-delete idempotence, reference plan §15.3) and the next
+cadence seal publishes everything exactly once.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+import time
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,24 +48,136 @@ def transcript_batch_to_docs(batch: DataFrame) -> DataFrame:
     )
 
 
-def upsert_batch(index: LexicalIndex, batch: DataFrame, batch_id: int) -> None:
-    """foreachBatch body: dedup on identity, upsert as new segment(s).
+class SealCadence:
+    """Driver-side debounce state: when to flip staged batches sealed.
+
+    Lives on the driver (foreachBatch bodies run there) and is only ever
+    touched from the micro-batch thread plus the post-termination final
+    seal — never concurrently, so no locking.  ``every_batches <= 1``
+    degenerates to the old seal-per-batch behavior.
+    """
+
+    def __init__(
+        self,
+        index: LexicalIndex,
+        every_batches: int = 4,
+        every_sec: float = 30.0,
+    ) -> None:
+        self.index = index
+        self.every_batches = max(1, int(every_batches))
+        self.every_sec = float(every_sec)
+        self.pending = 0
+        self.last_seal = time.time()
+
+    def note_batch(self) -> None:
+        self.pending += 1
+        if (
+            self.pending >= self.every_batches
+            or (time.time() - self.last_seal) >= self.every_sec
+        ):
+            self.seal()
+
+    def seal(self) -> None:
+        if self.pending:
+            self.index.maintenance.seal()
+            self.index.reopen()
+            self.pending = 0
+        self.last_seal = time.time()
+
+
+def upsert_batch(
+    index: LexicalIndex,
+    batch: DataFrame,
+    batch_id: int,
+    cadence: Optional[SealCadence] = None,
+) -> None:
+    """foreachBatch body: dedup on identity, stage as new segment(s).
 
     Watch-mode micro-batches (< 8,192 changed rows) mint exactly ONE
     segment; a catch-up batch past that is auto-sized like the cold
     build (maintenance._auto_upsert_segments) so its posting exchange
     reaches every core — the tier merge planner absorbs the extra rows.
 
+    With a ``cadence``, the batch is staged unsealed (immediately visible
+    to ``include_unsealed=True`` readers) and the cadence decides when the
+    window seals for default readers; without one, the batch commits
+    sealed (the old per-batch publish).
+
     Idempotent enough for at-least-once delivery: re-upserting the same
     identity tombstones the previous docid and republishes, so replayed
     batches converge to the same visible corpus (duplicate-then-delete
     idempotence — reference plan §15.3).
     """
+    # no isEmpty() precheck: that is a whole Spark job per micro-batch,
+    # and upsert's own changed-count early-returns on empty input anyway
     docs = transcript_batch_to_docs(batch).dropDuplicates(["doc_id"])
-    if docs.isEmpty():
-        return
-    index.maintenance.upsert(docs, sort_cols=("conv_id", "turn_idx"))
-    index.reopen()
+    # Scope AQE OFF and shuffle parallelism DOWN for the micro-batch
+    # commit: on a 6k-row batch AQE splits every action into
+    # stage-materialization sub-jobs (measured 38-45 jobs/batch vs 20-27
+    # without), and a session-level shuffle.partitions sized for corpus
+    # builds schedules 64 near-empty tasks per join/agg — job-launch and
+    # task-launch latency, not data, are the entire cost at watch-mode
+    # sizes (measured 3.2s/batch at 16 shuffle partitions vs 5.0s at 64,
+    # same host).  Catch-up-sized commits (direct upsert calls) keep the
+    # session settings for AQE's skew handling and full parallelism.
+    spark = batch.sparkSession
+    aqe_key = "spark.sql.adaptive.enabled"
+    shuf_key = "spark.sql.shuffle.partitions"
+    prev_aqe = spark.conf.get(aqe_key, "true")
+    prev_shuf = spark.conf.get(shuf_key, "200")
+    spark.conf.set(aqe_key, "false")
+    spark.conf.set(shuf_key, "8")
+    try:
+        if cadence is None:
+            if index.maintenance.upsert(docs, sort_cols=("conv_id", "turn_idx")):
+                index.reopen()
+            return
+        if index.maintenance.upsert(
+            docs, sort_cols=("conv_id", "turn_idx"), seal=False
+        ):
+            index.reopen()
+            cadence.note_batch()
+    finally:
+        spark.conf.set(aqe_key, prev_aqe)
+        spark.conf.set(shuf_key, prev_shuf)
+
+
+class IngestQuery:
+    """StreamingQuery wrapper that seals the staged tail on drain.
+
+    foreachBatch has no end-of-stream hook, so the final cadence window
+    would stay unsealed when an ``availableNow`` stream stops; this proxy
+    runs the final seal after the wrapped query terminates.  The seal
+    only fires when the query is no longer active — a cadence seal racing
+    a mid-publish batch from another thread could rewrite the manifest
+    around a concurrent append; while the stream runs, seals happen only
+    on the micro-batch thread itself.
+    """
+
+    def __init__(self, query, cadence: SealCadence) -> None:
+        self._query = query
+        self._cadence = cadence
+
+    def _seal_if_drained(self) -> None:
+        if not self._query.isActive:
+            self._cadence.seal()
+
+    def awaitTermination(self, timeout: Optional[int] = None):
+        out = self._query.awaitTermination(timeout)
+        self._seal_if_drained()
+        return out
+
+    def processAllAvailable(self) -> None:
+        self._query.processAllAvailable()
+        self._seal_if_drained()
+
+    def stop(self) -> None:
+        self._query.stop()
+        self._query.awaitTermination(60)
+        self._seal_if_drained()
+
+    def __getattr__(self, name):
+        return getattr(self._query, name)
 
 
 def stream_ingest(
@@ -64,21 +186,31 @@ def stream_ingest(
     checkpoint_dir: str,
     trigger_available_now: bool = True,
     watermark: Optional[str] = "10 minutes",
+    seal_every_batches: int = 4,
+    seal_every_sec: float = 30.0,
 ):
     """Attach the incremental-ingest sink to a streaming transcript frame.
 
-    Returns the started ``StreamingQuery``.  ``availableNow`` drains the
-    backlog and stops (the batch-catchup mode); pass False for a
-    continuous micro-batch loop.  The watermark bounds state for upstream
-    event-time operators; the sink itself is stateless (identity upsert).
+    Returns the started query (an :class:`IngestQuery` proxy — drop-in
+    for ``StreamingQuery``).  ``availableNow`` drains the backlog and
+    stops (the batch-catchup mode); pass False for a continuous
+    micro-batch loop.  The watermark bounds state for upstream event-time
+    operators; the sink itself is stateless (identity upsert).
+
+    ``seal_every_batches`` / ``seal_every_sec`` set the debounce window:
+    batches stage unsealed and the window publishes to default readers at
+    whichever threshold trips first (``seal_every_batches=1`` restores
+    the old seal-per-batch commit).  ``awaitTermination`` / ``stop`` on
+    the returned proxy seal whatever tail is still staged.
     """
     if watermark:
         transcripts = transcripts.withWatermark("ts", watermark)
+    cadence = SealCadence(index, seal_every_batches, seal_every_sec)
     writer = (
         transcripts.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda batch, bid: upsert_batch(index, batch, bid))
+        .foreachBatch(lambda batch, bid: upsert_batch(index, batch, bid, cadence))
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return IngestQuery(writer.start(), cadence)

@@ -63,7 +63,7 @@ try:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
     t0 = time.time()
-    ranged, docs_frame, slim = B._assign_docids_and_tokenize(
+    ranged, docs_frame, slim, _n, _ns = B._assign_docids_and_tokenize(
         spark, df, meta, sort_cols=["conv_id", "turn_idx"],
         num_segments=16, docid_base=0, segment_base=0,
     )

@@ -41,7 +41,7 @@ try:
                      i64_fields=["turn_idx"], stored_fields=["ts","content"], num_buckets=16, positions=True)
     storage = IndexStorage(spark, os.path.join(work, "ix")); storage.write_meta(meta)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    ranged, docs_frame, slim = B._assign_docids_and_tokenize(spark, df, meta, sort_cols=["conv_id","turn_idx"], num_segments=SEGMENTS, docid_base=0, segment_base=0)
+    ranged, docs_frame, slim, _n, _ns = B._assign_docids_and_tokenize(spark, df, meta, sort_cols=["conv_id","turn_idx"], num_segments=SEGMENTS, docid_base=0, segment_base=0)
     slim.persist(StorageLevel.DISK_ONLY); slim.count()
     # mark stage boundary: record job ids before postings
     st = spark.sparkContext.statusTracker
