@@ -48,7 +48,12 @@ from ..functions.codec import (
     with_decoded_docids,
 )
 from ..functions.contract import POSTINGS_PER_BLOCK
-from ..sources.storage import TOMBSTONE_BROADCAST_MAX, IndexMeta, IndexStorage
+from ..sources.storage import (
+    TOMBSTONE_BROADCAST_MAX,
+    IndexMeta,
+    IndexStorage,
+    pin_segments,
+)
 from .build import TARGET_DOCS_PER_SEGMENT, append_segment_batch
 
 #: Rewrite a segment when tombstoned docs reach this share (config.rs:29).
@@ -159,8 +164,10 @@ class IndexMaintenance:
             generation = state.current()
         live = self.storage.live_segments(include_unsealed=include_unsealed)
         docs = (
-            self.storage.read("docs")
-            .where(F.col("segment_id").isin(live))
+            pin_segments(
+                self.storage.read("docs"), live,
+                self.storage.segment_pin_isin_max,
+            )
             .join(ids.select("doc_id").distinct(), on="doc_id", how="leftsemi")
             .select("segment_id", "docid")
         )
@@ -220,11 +227,9 @@ class IndexMaintenance:
     def delete_all(self) -> int:
         """Tombstone every live doc (reference writer ``delete_all``)."""
         live = self.storage.live_segments()
-        ids = (
-            self.storage.read("docs")
-            .where(F.col("segment_id").isin(live))
-            .select("doc_id")
-        )
+        ids = pin_segments(
+            self.storage.read("docs"), live, self.storage.segment_pin_isin_max
+        ).select("doc_id")
         return self.delete_frame(ids)
 
     def upsert(
@@ -271,8 +276,9 @@ class IndexMaintenance:
         live_segs = self.storage.live_segments(include_unsealed=True)
         changed = batch
         if live_segs and self.storage.table_exists("docs"):
-            docs = self.storage.read("docs").where(
-                F.col("segment_id").isin(live_segs)
+            docs = pin_segments(
+                self.storage.read("docs"), live_segs,
+                self.storage.segment_pin_isin_max,
             )
             if "content_hash" in docs.columns:
                 identical = docs.select(
@@ -428,8 +434,10 @@ class IndexMaintenance:
         }
         docs = {
             r["segment_id"]: r["doc_count"]
-            for r in self.storage.read("manifest")
-            .where(F.col("segment_id").isin(live))
+            for r in pin_segments(
+                self.storage.read("manifest"), live,
+                self.storage.segment_pin_isin_max,
+            )
             .select("segment_id", "doc_count")
             .dropDuplicates(["segment_id"])
             .collect()
@@ -473,8 +481,11 @@ class IndexMaintenance:
         plan_tier_merge simplified to the consecutive-run rule.
         """
         rows = (
-            self.storage.read("manifest")
-            .where(F.col("segment_id").isin(self.storage.live_segments()))
+            pin_segments(
+                self.storage.read("manifest"),
+                self.storage.live_segments(),
+                self.storage.segment_pin_isin_max,
+            )
             .select("segment_id", "docid_lo", "docid_hi")
             .dropDuplicates(["segment_id"])
             .orderBy("docid_lo")
@@ -706,7 +717,9 @@ class IndexMaintenance:
             )
         if self.storage.table_exists("tombstones"):
             tombs = self.storage.read("tombstones")
-            kept = tombs.where(F.col("segment_id").isin(sorted(keep)))
+            kept = pin_segments(
+                tombs, sorted(keep), self.storage.segment_pin_isin_max
+            )
             self.storage.rewrite_tombstones(kept)
         floor = self.storage.current_generation()
         # Re-read meta immediately before the floor write: this instance's

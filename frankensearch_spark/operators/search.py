@@ -61,7 +61,12 @@ from ..plans.eval import (
     compile_tree_columns,
     phrase_weight,
 )
-from ..sources.storage import TOMBSTONE_BROADCAST_MAX, IndexStorage
+from ..sources.storage import (
+    TOMBSTONE_BROADCAST_MAX,
+    IndexStorage,
+    pin_segments,
+)
+from ..sources.storage import SEGMENT_PIN_ISIN_MAX as _STORAGE_PIN_MAX
 
 
 #: Glob expansions up to this many terms match postings via a literal
@@ -77,7 +82,7 @@ GLOB_ISIN_MAX = 256
 #: semi-join against a liveness frame: O(1) plan size, hash probe per
 #: row, and dynamic partition pruning still prunes the scan's
 #: segment_id=K directories at runtime.
-SEGMENT_PIN_ISIN_MAX = 1024
+SEGMENT_PIN_ISIN_MAX = _STORAGE_PIN_MAX  # single source: sources/storage.py
 
 #: Execute a multi-leaf query on the small-query session (AQE off, small
 #: fixed shuffle-partition count) only when the zero-job pivot-row bound
@@ -283,6 +288,11 @@ class SearchEngine:
         #: lazily cloned no-AQE session (False = not yet attempted;
         #: None = unavailable, plans keep AQE)
         self._noaqe = False
+        #: rebinds to the no-AQE session that fell back to the plain AQE
+        #: plan (0 on a healthy Spark version; >0 means the classic
+        #: Dataset internals this fast path rides died — a version bump
+        #: silently costing ~0.2 s/query unless something watches this)
+        self.noaqe_fallbacks = 0
         #: pure Column expression trees reused across queries (the tf-cache
         #: array literal alone is 256 py4j calls to rebuild) and per-table
         #: snapshot-pinned frames — all fixed for this engine's snapshot,
@@ -601,6 +611,7 @@ class SearchEngine:
         """
         sess = self._noaqe_session()
         if sess is None:
+            self.noaqe_fallbacks += 1
             return df
         try:
             # Spark 4 moved the classic Dataset to sql.classic; on other
@@ -611,6 +622,7 @@ class SearchEngine:
             )
         except Exception:
             self._noaqe = None  # stop re-attempting per query
+            self.noaqe_fallbacks += 1
             return df
         return DataFrame(jdf, sess)
 
@@ -680,8 +692,11 @@ class SearchEngine:
         per-partition manifests + ``files`` metadata table.
         """
         man = (
-            self.storage.read("manifest")
-            .where(F.col("segment_id").isin(self.live_segments))
+            pin_segments(
+                self.storage.read("manifest"),
+                self.live_segments,
+                self.segment_pin_isin_max,
+            )
             .select(
                 "generation",
                 "segment_id",

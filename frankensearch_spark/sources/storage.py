@@ -68,6 +68,34 @@ OPEN_STATE_VERSION = 2
 _OPEN_STATE_PARSE_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
 _OPEN_STATE_PARSE_CACHE_MAX = 16
 
+#: Past this many segment ids, a literal ``isin`` pin turns into a
+#: broadcast semi-join: a 10^5-literal IN bloats analysis + codegen of
+#: every plan that embeds it.  One constant for the query engine
+#: (operators/search.py) and every maintenance read.
+SEGMENT_PIN_ISIN_MAX = 1024
+
+
+def pin_segments(df: "DataFrame", segments, max_isin: int | None = None) -> "DataFrame":
+    """Filter ``df`` to rows whose ``segment_id`` is in ``segments`` with a
+    plan that stays O(1) in the segment count.
+
+    Small sets use a literal ``isin`` (static partition pruning — the
+    fastest plan when it fits); sets past ``max_isin`` switch to a
+    broadcast semi-join against a liveness frame, the same gate the query
+    engine's ``_read_live`` applies, so maintenance plans over 10^4-10^5
+    live segments don't embed O(segments) literals.
+    """
+    segs = sorted({int(s) for s in segments})
+    if max_isin is None:
+        max_isin = SEGMENT_PIN_ISIN_MAX
+    if len(segs) <= max_isin:
+        return df.where(F.col("segment_id").isin(segs))
+    frame = df.sparkSession.createDataFrame(
+        [(s,) for s in segs], "segment_id int"
+    )
+    return df.join(F.broadcast(frame), on="segment_id", how="leftsemi")
+
+
 #: Process-wide parquet-schema cache for table reads, keyed by
 #: (index_dir, table) with (root mtime_ns, entry count) validity —
 #: module-level for the same reason as the open-state parse cache.  Any
@@ -186,6 +214,9 @@ class IndexStorage:
         self.format = format or os.environ.get(
             "FRANKENSEARCH_STORAGE_FORMAT", "parquet"
         )
+        #: literal-isin vs broadcast-semi-join gate for segment pins
+        #: (instance-level so deployments/tests tune it)
+        self.segment_pin_isin_max = SEGMENT_PIN_ISIN_MAX
         if self.format not in ("parquet", "iceberg"):
             raise ValueError(f"unsupported storage format {self.format!r}")
         if self.format == "iceberg":
@@ -647,7 +678,7 @@ class IndexStorage:
             if late:
                 df = df.where(~F.col("generation").isin(late))
         if live_segments is not None and "segment_id" in df.columns:
-            df = df.where(F.col("segment_id").isin(list(live_segments)))
+            df = pin_segments(df, live_segments, self.segment_pin_isin_max)
         df = df.select("docid").distinct().persist()
         if known_count is not None:
             return df, int(known_count)
@@ -791,8 +822,8 @@ class IndexStorage:
             stats = {
                 f: [d, t]
                 for f, (d, t) in self.stats_rollup(
-                    self.read("field_stats").where(
-                        F.col("segment_id").isin(live)
+                    pin_segments(
+                        self.read("field_stats"), live, self.segment_pin_isin_max
                     )
                 ).items()
             }

@@ -139,3 +139,43 @@ def test_dict_fold_exchange_path_rank_identical(spark, tmp_path_factory, monkeyp
         np.asarray(coalesced["score"], dtype=np.float32),
         np.asarray(exchanged["score"], dtype=np.float32),
     )
+
+
+def test_noaqe_rebind_engages_on_this_spark_version(spark, tmp_path_factory):
+    """Round-5: the classic-Dataset rebind (_without_aqe) rides private
+    Spark internals guarded by a silent fallback — this test fails LOUDLY
+    if a Spark bump kills the rebind, instead of quietly giving back the
+    ~0.2 s/query the no-AQE session wins."""
+    d = str(tmp_path_factory.mktemp("aqe_pin_ix"))
+    corpus = synthetic_transcripts(spark, 300, vocab_size=100)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=2, num_buckets=4)
+    eng = idx.engine
+
+    hits = idx.search("w3", limit=10).hits
+    assert len(hits) > 0
+    # the rebind actually engaged: zero fallbacks, and the cloned session
+    # is live with AQE off (not the silent keep-the-AQE-plan branch)
+    assert eng.noaqe_fallbacks == 0, (
+        "classic-Dataset rebind fell back on this Spark version "
+        f"({spark.version}) — the no-AQE fast path is dead"
+    )
+    clone = eng._noaqe_session()
+    assert clone is not None
+    assert clone.conf.get("spark.sql.adaptive.enabled") == "false"
+
+    # a frame rebound through the seam really executes on the clone: a
+    # plan WITH an exchange must not be adaptive there, while the same
+    # frame on the shared session is (so the rebind is the thing that
+    # removed it, not plan shape)
+    scored = (
+        eng._read_live("doclens")
+        .groupBy("segment_id")
+        .count()
+        .orderBy("segment_id")
+    )
+    rebound = eng._without_aqe(scored)
+    assert eng.noaqe_fallbacks == 0
+    plan = rebound._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" not in plan
+    shared_plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in shared_plan

@@ -67,3 +67,62 @@ def test_hydration_span_pruning_rank_identical(spark, tmp_path_factory):
     idx.delete([pruned[0][0]])
     reopened = LexicalIndex(spark, d).engine
     assert reopened._span_arrays is not None
+
+
+def test_maintenance_plans_are_literal_free_past_gate(spark, tmp_path_factory):
+    """Round-5: the >SEGMENT_PIN_ISIN_MAX semi-join gate covers the
+    maintenance reads too (delete targeting, tier-merge planning,
+    tombstone density, segment metrics, open-state stats rollup) — at
+    10^4+ live segments none of these plans may embed an O(segments)
+    IN-literal, and behavior must be identical either way."""
+    from frankensearch_spark.sources.storage import pin_segments
+
+    d = str(tmp_path_factory.mktemp("mpin_ix"))
+    corpus = synthetic_transcripts(spark, 600, vocab_size=100)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=3, num_buckets=4)
+
+    # plan shape: past the gate the pin is a semi-join with no literal list
+    man = idx.storage.read("manifest")
+    live = idx.storage.live_segments()
+    big = pin_segments(man, live, max_isin=1)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    small_plan = (
+        pin_segments(man, live)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" not in small_plan
+    assert sorted(
+        r["segment_id"] for r in big.select("segment_id").distinct().collect()
+    ) == sorted(live)
+
+    # behavioral identity: run the maintenance surface with the gate
+    # forced on (every read takes the semi-join path) and compare against
+    # the literal path's answers
+    baseline_plans = idx.maintenance.plan_tier_merge(fanout=2)
+    baseline_density = idx.maintenance.tombstone_density()
+    baseline_metrics = (
+        idx.engine.segment_metrics().orderBy("segment_id").collect()
+    )
+
+    forced = LexicalIndex(spark, d)
+    # the maintenance property returns a FRESH facade per access — hold
+    # one instance so the forced gate actually applies to the reads
+    maint = forced.maintenance
+    maint.storage.segment_pin_isin_max = 1
+    forced.engine.segment_pin_isin_max = 1
+    forced.engine.storage.segment_pin_isin_max = 1
+    assert maint.plan_tier_merge(fanout=2) == baseline_plans
+    assert maint.tombstone_density() == baseline_density
+    assert (
+        forced.engine.segment_metrics().orderBy("segment_id").collect()
+        == baseline_metrics
+    )
+
+    # delete + open-state rollup through the forced gate stay correct
+    victim = idx.search("w1", limit=1).hits["doc_id"][0]
+    assert maint.delete([victim]) == 1
+    st = forced.storage
+    st.segment_pin_isin_max = 1
+    st.write_open_state()
+    reread = LexicalIndex(spark, d)
+    assert victim not in set(reread.search("w1", limit=50).hits["doc_id"])
