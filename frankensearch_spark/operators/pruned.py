@@ -73,20 +73,38 @@ BMW_MIN_TOTAL_COST = 16_384
 #:   summed df   659k    2.2M    6.6M    13.2M (old floor engaged here)
 #:   pruned/exh  5.24x   3.23x   2.71x   2.33x
 #:
-#: Pruned's absolute slope (~0.6 s per 1M df: bound pass + 40-65%
-#: surviving decode + full rescore) exceeds the vectorized exhaustive
-#: scan's (~0.24 s/M df) on the synthetic zipf corpus, so the old 10M
-#: floor auto-picked a 2.3x SLOWER plan at its own engagement point.
-#: Pruning's winning regime needs decode IO to dominate scheduling AND a
-#: selective tau (the sandbox corpus keeps 60% of blocks; skewed real
-#: scores keep far fewer), which no feasible sandbox corpus reaches —
-#: the default floor therefore sits at 10^9 summed postings (a regime
-#: where the exhaustive scan moves ~TBs through the pivot and the block
-#: filter's savings are IO-bound, not job-bound).  Engines expose it as
-#: ``auto_prune_min_cost`` so selective-workload deployments tune it
-#: down with their own measurements; ``prune=True`` forces the pruned
-#: plan unconditionally (rank-safety is identical either way).
-AUTO_PRUNE_MIN_COST = 1_000_000_000
+#: Round 5 changed the economics twice over (BENCH.md round 5):
+#: term-clustered posting row groups + covering-block rescore cut the
+#: pruned plan's IO from O(bucket bytes) per pass to O(query/candidate
+#: postings), and the MID-FLIGHT BAIL below means a wrong admission now
+#: costs only the seed pass (three metadata jobs), not a committed
+#: 2-5× slower plan.  On the skewed selective corpus
+#: (scripts/bench_prune.py --selective: τ eliminates >99.9% of blocks)
+#: the pruned plan crosses the exhaustive plan at ~7M summed df and wins
+#: beyond it; on the uniform zipf corpus it still always loses but the
+#: bail returns those queries to the exhaustive plan after the seed.
+#: The floor therefore sits just above the measured selective-corpus
+#: crossover: below it even a perfectly selective query can't win by
+#: enough to cover the seed, so admission is pointless; above it the
+#: seed gamble is bounded (≈1 s sandbox, pure metadata jobs at cluster
+#: scale) and the selective win is unbounded in corpus size.  Engines
+#: expose it as ``auto_prune_min_cost``; ``prune=True`` forces the
+#: pruned plan unconditionally (rank-safety is identical either way).
+AUTO_PRUNE_MIN_COST = 10_000_000
+
+#: Mid-flight commitment gate: after the seed pass, auto dispatch bails
+#: back to the exhaustive plan when more than this fraction of the query
+#: terms' posting blocks survives the τ/block-bound filter.  Summed df
+#: (the admission floor above) cannot see selectivity; the surviving
+#: fraction — computed from quantities the seed pass already produced
+#: (τ, per-block upper bounds) — is the reference's "does BMW earn its
+#: keep" signal (``argus.rs:4700+`` pivot skipping wins exactly when few
+#: blocks can beat the heap threshold).  Measured on this machine
+#: (scripts/bench_prune.py --selective vs uniform, BENCH.md round 5):
+#: the uniform zipf corpus keeps ~60% of blocks and pruned loses 2-5×;
+#: the skewed corpus keeps <10% and pruned wins.  The default sits
+#: between the two regimes with margin on the losing side.
+PRUNE_BAIL_FRACTION = 0.2
 
 
 def select_strategy(engine, plan: EvalPlan) -> Optional[str]:
@@ -212,7 +230,11 @@ class PrunedExecutor:
         buckets = sorted(
             {engine_bucket(t, engine.meta.num_buckets) for _, _, t, _ in rows}
         )
-        postings = engine._read_live("postings").where(F.col("bucket").isin(buckets))
+        postings = engine._read_live("postings").where(
+            F.col("bucket").isin(buckets)
+            # literal pushdown → term-clustered row-group pruning
+            & F.col("term").isin(sorted({t for _, _, t, _ in rows}))
+        )
         joined = postings.join(
             F.broadcast(qterms), on=["field", "term"], how="inner"
         )
@@ -232,49 +254,77 @@ class PrunedExecutor:
         ub = (
             F.col("weight") * (mf / (mf + norm_expr)) * F.lit(1.0 + BOUND_SLACK)
         ).alias("ub")
+        # first_doc/bucket ride along so downstream passes (covering-block
+        # metadata, partition-pruned decode literals) reuse THIS persisted
+        # frame instead of re-scanning the postings files
         return joined.select(
-            "leaf_id", "field", "term", "segment_id", "block_id", ub
+            "leaf_id", "field", "term", "segment_id", "block_id", "bucket",
+            "first_doc", ub,
         )
 
     # ── pass 1: threshold seed ───────────────────────────────────────────
 
-    def _seed_threshold(self, blocks: DataFrame, leaves, k: int) -> float:
-        """Exactly score the top-ub blocks per leaf; return the k-th best
-        sampled doc total (deflated), or -inf when fewer than k docs."""
-        per_leaf = max(1, -(-k // 128)) + 1
-        w = Window.partitionBy("leaf_id").orderBy(F.desc("ub"), F.asc("block_id"))
-        sample = (
-            blocks.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= per_leaf)
-            .select("leaf_id", "field", "term", "segment_id", "block_id")
+    def _seed_threshold(
+        self,
+        sample_keys: list[tuple],
+        leaves,
+        k: int,
+        partition_keys: Optional[list[tuple[int, int]]] = None,
+    ) -> float:
+        """Exactly score the sampled blocks; return the k-th best sampled
+        doc total (deflated), or -inf when fewer than k docs.
+
+        ``sample_keys`` are driver rows (leaf_id, field, term, segment_id,
+        block_id) already collected by :meth:`execute`'s combined
+        sample+sigma job, so the seed's block-key side is a LocalRelation
+        (broadcast semi join, no second window pass over the metadata).
+        The action runs on the no-AQE small-query session: its shuffle
+        input is ≤ per_leaf × n_leaves blocks of 128 docs — always tiny.
+        """
+        engine = self.engine
+        sample = values_frame(
+            engine.spark,
+            sample_keys,
+            "leaf_id int, field string, term string, segment_id int, block_id int",
         )
-        scored = self.engine._score_block_subset(leaves, sample)
+        scored = engine._score_block_subset(
+            leaves, sample, partition_keys=partition_keys
+        )
         if scored is None:
             return float("-inf")
         # Rank-safety with deletes: a tombstoned doc must not inflate τ —
         # an overstated threshold prunes blocks holding the true live
         # top-k (it would only be caught by the differential suite).
-        scored = self.engine._filter_tombstones(scored)
-        totals = (
+        scored = engine._filter_tombstones(scored)
+        totals_frame = (
             scored.groupBy("docid")
             .agg(F.sum(F.col("score").cast("double")).alias("total"))
             .orderBy(F.desc("total"))
             .limit(k)
-            .collect()
         )
+        totals = engine._without_aqe(totals_frame).collect()
         if len(totals) < k:
             return float("-inf")
         return float(totals[-1]["total"]) * (1.0 - BOUND_SLACK)
 
     # ── full pruned execution ────────────────────────────────────────────
 
-    def execute(self, plan: EvalPlan, k: int) -> Optional[DataFrame]:
+    def execute(
+        self, plan: EvalPlan, k: int, forced: bool = False
+    ) -> Optional[DataFrame]:
         """Return the scored candidate DataFrame (docid, score) or None to
-        signal fallback to the exhaustive path."""
+        signal fallback to the exhaustive path.
+
+        ``forced`` (``prune=True`` at the API) skips the mid-flight
+        selectivity bail so the differential suite always exercises the
+        full pruned plan; auto dispatch leaves it False, making the bail
+        the second half of strategy selection (see module docstring:
+        admission is summed-df, commitment is the measured surviving-block
+        fraction).
+        """
         engine = self.engine
-        if getattr(engine, "collect_prune_metrics", False):
-            # reset so an early bail can't leave a PRIOR query's accounting
-            engine.last_prune_metrics = None
+        # reset so an early bail can't leave a PRIOR query's accounting
+        engine.last_prune_metrics = None
         leaves = plan.leaves
         # doc freqs resolved once (engine caches them for weight computation)
         engine._resolve_doc_freqs(leaves)
@@ -288,13 +338,43 @@ class PrunedExecutor:
             return None
         blocks = blocks.persist()
         try:
-            tau = self._seed_threshold(blocks, live, k)
+            # ONE small job yields BOTH the seed sample and every leaf's
+            # ceiling σ: the window is ub-descending per leaf, so the
+            # rn==1 row of each leaf IS max(ub) — the old separate
+            # groupBy-max collect is free.  The window's shuffle input is
+            # block METADATA (one row per 128-doc block of the query's
+            # terms), so it runs on the no-AQE small-query session.
+            per_leaf = max(1, -(-k // 128)) + 1
+            w = Window.partitionBy("leaf_id").orderBy(
+                F.desc("ub"), F.asc("segment_id"), F.asc("block_id")
+            )
+            top = (
+                blocks.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") <= per_leaf)
+                .select(
+                    "leaf_id", "field", "term", "segment_id", "block_id",
+                    "bucket", "ub", "rn",
+                )
+            )
+            sample_rows = engine._without_aqe(top).collect()
+            if not sample_rows:
+                return None
+            sigma = {
+                r["leaf_id"]: float(r["ub"]) for r in sample_rows if r["rn"] == 1
+            }
+            tau = self._seed_threshold(
+                [
+                    (r["leaf_id"], r["field"], r["term"], r["segment_id"], r["block_id"])
+                    for r in sample_rows
+                ],
+                live,
+                k,
+                partition_keys=[
+                    (r["segment_id"], r["bucket"]) for r in sample_rows
+                ],
+            )
             if not np.isfinite(tau):
                 return None  # fewer than k matches — prune nothing
-            sigma = {
-                r["leaf_id"]: float(r["s"])
-                for r in blocks.groupBy("leaf_id").agg(F.max("ub").alias("s")).collect()
-            }
             order = sorted(sigma, key=lambda lid: sigma[lid])
             total_sigma = sum(sigma.values())
             nonessential, cum = [], 0.0
@@ -312,29 +392,85 @@ class PrunedExecutor:
             sigma_lit = F.create_map(
                 *[F.lit(x) for pair in sigma.items() for x in pair]
             )
-            surviving = (
-                blocks.where(F.col("leaf_id").isin(essential))
-                .withColumn(
-                    "bound",
-                    F.col("ub") + F.lit(total_sigma) - sigma_lit[F.col("leaf_id")],
+            bound = F.col("ub") + F.lit(total_sigma) - sigma_lit[F.col("leaf_id")]
+            survives = F.col("leaf_id").isin(essential) & (bound >= F.lit(tau))
+            # ONE job on the persisted metadata frame: total + surviving
+            # block counts.  This is simultaneously the block accounting
+            # the metrics report AND the selectivity estimate the dispatch
+            # bail keys on — the quantity summed-df admission cannot see.
+            counts = engine._without_aqe(
+                blocks.agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.sum(survives.cast("int")).alias("surviving"),
                 )
-                .where(F.col("bound") >= tau)
-                .select("leaf_id", "field", "term", "segment_id", "block_id")
+            ).collect()[0]
+            total_blocks = int(counts["total"])
+            surviving_blocks = int(counts["surviving"] or 0)
+            fraction = (
+                surviving_blocks / total_blocks if total_blocks else 1.0
             )
-            if getattr(engine, "collect_prune_metrics", False):
-                engine.last_prune_metrics = {
-                    "tau": float(tau),
-                    "total_blocks": int(blocks.count()),
-                    "surviving_blocks": int(surviving.count()),
-                    "essential_leaves": len(essential),
-                    "nonessential_leaves": len(nonessential),
-                }
+            engine.last_prune_metrics = {
+                "tau": float(tau),
+                "total_blocks": total_blocks,
+                "surviving_blocks": surviving_blocks,
+                "surviving_fraction": round(fraction, 4),
+                "essential_leaves": len(essential),
+                "nonessential_leaves": len(nonessential),
+                "bailed": False,
+            }
+            if not forced and fraction > engine.prune_bail_fraction:
+                # Mid-flight selectivity bail: τ keeps too many blocks
+                # alive for the two-pass plan to beat the exhaustive
+                # scan (the uniform-corpus regime BENCH.md measured at
+                # 2.3-5.2× slower).  The wasted work is three metadata
+                # jobs + the seed decode — bounded and small — vs
+                # committing to a pruned plan that loses by seconds.
+                engine.last_prune_metrics["bailed"] = True
+                return None
+            surv_partition_keys = None
+            if surviving_blocks <= 4_096:
+                # tiny survivor set: collect it from the CACHED metadata
+                # frame (no postings scan) so the decode pass gets literal
+                # partition predicates — a handful of scan tasks instead
+                # of listing/splitting every live posting file — and the
+                # block-key side becomes a LocalRelation
+                surv_rows = (
+                    blocks.where(survives)
+                    .select(
+                        "leaf_id", "field", "term", "segment_id",
+                        "block_id", "bucket",
+                    )
+                    .collect()
+                )
+                surviving = values_frame(
+                    engine.spark,
+                    [
+                        (r[0], r[1], r[2], r[3], r[4])
+                        for r in surv_rows
+                    ],
+                    "leaf_id int, field string, term string,"
+                    " segment_id int, block_id int",
+                )
+                surv_partition_keys = [
+                    (r["segment_id"], r["bucket"]) for r in surv_rows
+                ]
+            else:
+                surviving = blocks.where(survives).select(
+                    "leaf_id", "field", "term", "segment_id", "block_id"
+                )
+                if surviving_blocks <= 65_536:
+                    # driver-known small key set: pin the semi-join
+                    # broadcast so the static (no-AQE) planner can't fall
+                    # back to shuffling the posting scan by block key
+                    surviving = F.broadcast(surviving)
             # Candidate generation: docids of surviving essential blocks.
             # Rank-safety: a doc in NO surviving block satisfies, for any
             # essential leaf t containing it, total ≤ ub_block(t) +
             # Σ_{t'≠t} σ < τ; a doc in no essential leaf satisfies
             # total ≤ Σ_{nonessential} σ < τ.
-            cand_scored = engine._score_block_subset(live, surviving)
+            cand_scored = engine._score_block_subset(
+                live, surviving, partition_keys=surv_partition_keys
+            )
             if cand_scored is None:
                 return None
             # Dead docs can't win (they're dropped in _combine anyway);
@@ -345,9 +481,17 @@ class PrunedExecutor:
             # Exact rescore of EVERY leaf restricted to the candidate set —
             # a candidate may have contributions in pruned blocks of other
             # leaves, so scores must come from the full postings, filtered
-            # by docid.  The pruning win is the candidate-set reduction
-            # entering the pivot/eval shuffle, not posting-scan IO.
-            scored = engine._score_leaf_rows_for_docids(live, candidates)
+            # by docid.  The candidate count is bounded by the surviving
+            # blocks' capacity; when small, the rescore prunes its decode
+            # to the candidates' covering blocks (the posting-scan IO win;
+            # see _score_leaf_rows_for_docids) on top of the candidate-set
+            # reduction entering the pivot/eval shuffle.
+            scored = engine._score_leaf_rows_for_docids(
+                live,
+                candidates,
+                cand_bound=surviving_blocks * 128,
+                block_meta=blocks,
+            )
             if scored is None:
                 return None
             return engine._combine(plan, scored)

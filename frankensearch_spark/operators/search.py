@@ -38,7 +38,7 @@ import time
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     FloatType,
@@ -49,7 +49,12 @@ from pyspark.sql.types import (
 )
 
 from ..functions.codec import is_delta_layout, with_decoded_docids
-from ..functions.contract import BM25_K1, compute_tf_cache, term_weight
+from ..functions.contract import (
+    BM25_K1,
+    POSTINGS_PER_BLOCK,
+    compute_tf_cache,
+    term_weight,
+)
 from ..functions.snippet import SnippetGenerator
 from ..plans import fuel, glob
 from ..plans import query as q
@@ -341,9 +346,18 @@ class SearchEngine:
         #: Cost floor for auto-engaging the pruned plan (see
         #: pruned.AUTO_PRUNE_MIN_COST for the rationale); tunable per
         #: deployment to the cluster's job-scheduling overhead.
-        from .pruned import AUTO_PRUNE_MIN_COST
+        from .pruned import AUTO_PRUNE_MIN_COST, PRUNE_BAIL_FRACTION
 
         self.auto_prune_min_cost = AUTO_PRUNE_MIN_COST
+        #: surviving-block fraction above which an auto-engaged pruned
+        #: plan bails back to exhaustive mid-flight (pruned.py rationale)
+        self.prune_bail_fraction = PRUNE_BAIL_FRACTION
+        #: candidate-count bound below which the pruned rescore prunes
+        #: the posting scan to the candidates' covering blocks (see
+        #: _score_leaf_rows_for_docids); above it the bound's
+        #: candidate×terms metadata rows stop being obviously small and
+        #: the plain explode+semi-join is the safer plan
+        self.span_rescore_max_candidates = 16_384
 
     @property
     def _tombstones(self) -> Optional[DataFrame]:
@@ -510,7 +524,22 @@ class SearchEngine:
                 else pruned_applicable(plan, is_text=self._is_text)
             )
             if engage:
-                scored = PrunedExecutor(self).execute(plan, limit + offset)
+                # prune=True skips the executor's mid-flight selectivity
+                # bail (the differential suite's lever); auto keeps it
+                scored = PrunedExecutor(self).execute(
+                    plan, limit + offset, forced=(prune != "auto")
+                )
+        pruned_pivot_bound = None
+        if scored is not None:
+            # A committed pruned plan's pivot input is bounded by the
+            # surviving blocks' capacity × leaves — usually far below the
+            # pessimistic Σ-df bound, so the final action can take the
+            # small-query no-AQE session (the whole point of pruning is
+            # that the candidate set is tiny).
+            m = getattr(self, "last_prune_metrics", None) or {}
+            sb = m.get("surviving_blocks")
+            if sb is not None:
+                pruned_pivot_bound = sb * POSTINGS_PER_BLOCK * len(plan.leaves)
         if scored is None:
             scored = self._evaluate(plan)
         if scored is None:
@@ -538,7 +567,12 @@ class SearchEngine:
             and plan.spec.get("t") == "leaf"
             and len(plan.leaves) == 1
         )
-        if single_leaf or self._pivot_rows_bound(plan) <= SMALL_PIVOT_MAX_ROWS:
+        pivot_bound = (
+            pruned_pivot_bound
+            if pruned_pivot_bound is not None
+            else self._pivot_rows_bound(plan)
+        )
+        if single_leaf or pivot_bound <= SMALL_PIVOT_MAX_ROWS:
             scored = self._without_aqe(scored)
         if exact_count:
             winners, total = self._topk_with_count(scored, limit + offset)
@@ -594,6 +628,13 @@ class SearchEngine:
                 sess.conf.set(
                     "spark.sql.shuffle.partitions", str(max(8, cores // 4))
                 )
+                # Small-query scans are row-group-pruned by the pushed
+                # term literals, so most file splits do no IO — pack many
+                # files per task so the task COUNT stops scaling with the
+                # live file count (the splits' bytes are metadata to a
+                # pruned scan, not work)
+                sess.conf.set("spark.sql.files.maxPartitionBytes", "512m")
+                sess.conf.set("spark.sql.files.openCostInBytes", "16m")
                 self._noaqe = sess
             except Exception:
                 self._noaqe = None
@@ -1100,12 +1141,21 @@ class SearchEngine:
         return rows
 
     def _exploded_postings(self, rows: list[tuple], postings: DataFrame) -> DataFrame:
-        """Join query-term rows against postings and explode to per-doc rows."""
+        """Join query-term rows against postings and explode to per-doc rows.
+
+        The literal ``term IN (...)`` is semantically redundant with the
+        join but PUSHES to the Parquet scan: postings files are
+        term-clustered with bounded row groups (build.py), so the scan
+        reads only the query terms' row groups instead of every term in
+        the bucket — the difference between O(query postings) and
+        O(bucket bytes) IO per query.
+        """
         qterms = values_frame(
             self.spark,
             rows,
             "leaf_id int, field string, term string, weight float, bucket int",
         )
+        postings = postings.where(F.col("term").isin(sorted({r[2] for r in rows})))
         joined = postings.join(
             F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
         )
@@ -1125,30 +1175,131 @@ class SearchEngine:
         )
 
     def _score_block_subset(
-        self, leaves: list[LeafSpec], block_keys: DataFrame
+        self,
+        leaves: list[LeafSpec],
+        block_keys: DataFrame,
+        partition_keys: Optional[list[tuple[int, int]]] = None,
     ) -> Optional[DataFrame]:
         """Exact f32 scores for only the posting blocks named in
-        ``block_keys (leaf_id, field, term, segment_id, block_id)``."""
+        ``block_keys (leaf_id, field, term, segment_id, block_id)``.
+
+        ``partition_keys`` — the driver-known (segment_id, bucket) pairs
+        the named blocks live in — adds literal partition predicates (a
+        covering rectangle), so the scan's FILE INDEX prunes to those
+        directories instead of listing/splitting every live file; the
+        semi join keeps exactness.  A handful of named blocks then costs
+        a handful of scan tasks, not O(live files).
+        """
         rows = self._term_weight_rows(leaves)
         if not rows:
             return None
         buckets = sorted({r[4] for r in rows})
         postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
+        if partition_keys:
+            segs = sorted({s for s, _ in partition_keys})
+            bks = sorted({b for _, b in partition_keys})
+            postings = postings.where(
+                F.col("segment_id").isin(segs) & F.col("bucket").isin(bks)
+            )
         subset = postings.join(
             block_keys, on=["field", "term", "segment_id", "block_id"], how="leftsemi"
         )
         return self._score_rows(self._exploded_postings(rows, subset))
 
     def _score_leaf_rows_for_docids(
-        self, leaves: list[LeafSpec], candidates: DataFrame
+        self,
+        leaves: list[LeafSpec],
+        candidates: DataFrame,
+        cand_bound: Optional[int] = None,
+        block_meta: Optional[DataFrame] = None,
     ) -> Optional[DataFrame]:
         """Exact f32 scores for the given leaves restricted to candidate
-        docids (the non-essential-leaf lane of the pruned plan)."""
+        docids (the rescore lane of the pruned plan).
+
+        ``cand_bound`` is an upper bound on the candidate count (the
+        pruned executor knows ``surviving_blocks × 128``).  When it is
+        small, the posting scan itself is pruned to each candidate's
+        COVERING block per (field, term): blocks are docid-sorted with
+        ``first_doc`` metadata and segments own disjoint docid ranges, so
+        the one block that can contain docid ``d`` is the last block with
+        ``first_doc ≤ d`` — found with a running ``last(...ignorenulls)``
+        window over the union of block-metadata rows and candidate rows
+        (all JVM-side, metadata-scale shuffle).  This turns the rescore's
+        decode from O(summed df) to O(candidates × leaves) — the
+        reference's "only touch blocks the heap still needs" BMW economy
+        (``quiver.rs:1719-1790``), which the plain docid semi-join cannot
+        give because the semi-join runs AFTER the explode.  A block from a
+        foreign segment can be selected when a candidate precedes all of
+        its home segment's blocks — a safe over-decode, removed by the
+        docid semi-join below.
+        """
         rows = self._term_weight_rows(leaves)
         if not rows:
             return None
         buckets = sorted({r[4] for r in rows})
-        postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
+        postings = self._read_live("postings").where(
+            F.col("bucket").isin(buckets)
+            # literal pushdown → term-clustered row-group pruning (both
+            # the covering-metadata pass and the decode pass below)
+            & F.col("term").isin(sorted({r[2] for r in rows}))
+        )
+        if cand_bound is not None and cand_bound <= self.span_rescore_max_candidates:
+            pairs = values_frame(
+                self.spark,
+                [(r[1], r[2]) for r in rows],
+                "field string, term string",
+            )
+            # block_meta (e.g. the pruned executor's persisted blocks
+            # frame) carries (field, term, segment_id, block_id,
+            # first_doc) for every block of these leaves — using it skips
+            # a second postings file scan for the covering metadata
+            meta_src = block_meta if block_meta is not None else postings
+            meta = meta_src.select(
+                "field",
+                "term",
+                F.col("first_doc").cast("long").alias("pos"),
+                "segment_id",
+                "block_id",
+                F.lit(1).alias("is_block"),
+            )
+            cand_rows = candidates.crossJoin(F.broadcast(pairs)).select(
+                "field",
+                "term",
+                F.col("docid").cast("long").alias("pos"),
+                F.lit(None).cast(meta.schema["segment_id"].dataType).alias(
+                    "segment_id"
+                ),
+                F.lit(None).cast(meta.schema["block_id"].dataType).alias("block_id"),
+                F.lit(0).alias("is_block"),
+            )
+            w = (
+                Window.partitionBy("field", "term")
+                .orderBy(F.asc("pos"), F.desc("is_block"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            covering = (
+                meta.unionByName(cand_rows)
+                .select(
+                    "field",
+                    "term",
+                    "is_block",
+                    F.last("segment_id", ignorenulls=True).over(w).alias("segment_id"),
+                    F.last("block_id", ignorenulls=True).over(w).alias("block_id"),
+                )
+                .where((F.col("is_block") == 0) & F.col("segment_id").isNotNull())
+                .select("field", "term", "segment_id", "block_id")
+                .distinct()
+            )
+            # covering ≤ candidates × terms rows by construction (and the
+            # span path only engages under the cand_bound cap), so the
+            # explicit broadcast holds even when the final action runs on
+            # the no-AQE session where runtime-stats conversion can't fire
+            postings = postings.join(
+                F.broadcast(covering),
+                on=["field", "term", "segment_id", "block_id"],
+                how="leftsemi",
+            )
+            candidates = F.broadcast(candidates)
         exploded = self._exploded_postings(rows, postings).join(
             candidates, on="docid", how="leftsemi"
         )
@@ -1203,7 +1354,11 @@ class SearchEngine:
             "leaf_id int, field string, term string, boost float, bucket int",
         )
         buckets = sorted({r[4] for r in qrows})
-        postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
+        postings = self._read_live("postings").where(
+            F.col("bucket").isin(buckets)
+            # literal pushdown → term-clustered row-group pruning
+            & F.col("term").isin(sorted({r[2] for r in qrows}))
+        )
         matched = postings.join(
             F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
         )
@@ -1319,7 +1474,11 @@ class SearchEngine:
             self.spark, qrows, "ord int, field string, term string, off int, bucket int"
         )
         buckets = sorted({r[4] for r in qrows})
-        postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
+        postings = self._read_live("postings").where(
+            F.col("bucket").isin(buckets)
+            # literal pushdown → term-clustered row-group pruning
+            & F.col("term").isin(sorted({r[2] for r in qrows}))
+        )
         matched = postings.join(
             F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
         )

@@ -354,6 +354,8 @@ class IndexStorage:
         mode: str,
         partition_by: tuple = (),
         coalesce: int | None = None,
+        sort_within: tuple = (),
+        options: dict | None = None,
     ) -> None:
         """The single write seam all index writers go through.
 
@@ -361,6 +363,12 @@ class IndexStorage:
         partition overwrite (session default) => only the partitions
         present in ``df`` are replaced — the crash-idempotent rewrite
         primitive (Iceberg's overwritePartitions is the 1:1 analogue).
+
+        ``sort_within`` orders rows inside each task's output file (no
+        exchange added), and ``options`` passes writer options through —
+        together the postings writer uses them to lay out term-clustered
+        row groups whose min/max statistics make literal term predicates
+        prune the scan (see build.py::_write_postings).
         """
         # Committer v2 (session.py) exposes task output at TASK commit, so
         # an append-mode write is atomic only per-task.  The manifest is
@@ -375,7 +383,11 @@ class IndexStorage:
             )
         if coalesce is not None:
             df = df.coalesce(coalesce)
+        if sort_within:
+            df = df.sortWithinPartitions(*sort_within)
         writer = df.write.format(self.format).mode(mode)
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(self.path(table))

@@ -141,9 +141,9 @@ def test_auto_dispatch_end_to_end(built, monkeypatch):
     calls = []
     orig = pruned_mod.PrunedExecutor.execute
 
-    def counted(self, plan, k):
+    def counted(self, plan, k, **kw):
         calls.append(k)
-        return orig(self, plan, k)
+        return orig(self, plan, k, **kw)
 
     monkeypatch.setattr(pruned_mod.PrunedExecutor, "execute", counted)
     # the default floor exceeds this corpus's costs -> exhaustive
@@ -243,6 +243,71 @@ def test_auto_dispatch_fires_unforced_at_realistic_floor(built, monkeypatch):
     assert metrics is not None
     assert 0 < metrics["surviving_blocks"] < metrics["total_blocks"]
     exhaustive = built.search("w0 w1", limit=10, prune=False).hits
+    assert list(auto["docid"]) == list(exhaustive["docid"])
+    assert np.array_equal(
+        np.asarray(auto["score"], dtype=np.float32),
+        np.asarray(exhaustive["score"], dtype=np.float32),
+    )
+
+
+def test_mid_flight_bail_on_unselective(built, monkeypatch):
+    """Auto dispatch commits to the pruned plan only when the seed pass
+    measures real selectivity: with a bail fraction of 0 every query
+    bails back to the exhaustive plan (and stays rank-identical), while
+    prune=True (the differential lever) ignores the bail entirely."""
+    engine = built.engine
+    monkeypatch.setattr(engine, "auto_prune_min_cost", 0, raising=False)
+    monkeypatch.setattr(engine, "prune_bail_fraction", 0.0, raising=False)
+    engine._query_cache.clear()
+    auto = built.search("w1 w2 w3 w4", limit=10, prune="auto").hits
+    m = engine.last_prune_metrics
+    assert m is not None and m["bailed"] is True
+    exhaustive = built.search("w1 w2 w3 w4", limit=10, prune=False).hits
+    assert list(auto["docid"]) == list(exhaustive["docid"])
+    engine._query_cache.clear()
+    forced = built.search("w1 w2 w3 w4", limit=10, prune=True).hits
+    assert engine.last_prune_metrics["bailed"] is False
+    assert list(forced["docid"]) == list(exhaustive["docid"])
+
+
+@pytest.fixture(scope="module")
+def skewed(spark, tmp_path_factory):
+    """bench_prune.py's selective corpus shape at test scale: dense terms
+    in ~60% of turns, rare needle terms with saturating tf."""
+    from pyspark.sql import functions as F
+
+    base = synthetic_transcripts(spark, 6_000, vocab_size=2_000)
+    rid = F.xxhash64("conv_id", "turn_idx")
+    dense = F.when(
+        F.pmod(rid, F.lit(10)) < 6, F.lit(" hay0 hay1 hay2")
+    ).otherwise(F.lit(""))
+    needle = F.when(
+        F.pmod(rid, F.lit(128)) == 7, F.lit(" " + "needle0 needle1 " * 8)
+    ).otherwise(F.lit(""))
+    corpus = base.withColumn("text", F.concat("text", dense, needle))
+    index_dir = str(tmp_path_factory.mktemp("skewed_index"))
+    return LexicalIndex.build_transcripts(
+        spark, corpus, index_dir, num_segments=4, num_buckets=8
+    )
+
+
+def test_selective_commit_spanned_rescore_rank_identical(skewed, monkeypatch):
+    """On the skewed corpus the needle docs push τ above the dense terms'
+    ceilings: auto dispatch COMMITS (no bail), the block filter eliminates
+    most blocks, the covering-block rescore path engages (cand_bound far
+    under the span cap) — and the result stays hash-exact against the
+    exhaustive plan, which is the rank-safety contract for the whole
+    two-pass machinery (reference argus.rs:4700+ BMW pivot skipping)."""
+    engine = skewed.engine
+    monkeypatch.setattr(engine, "auto_prune_min_cost", 0, raising=False)
+    engine._query_cache.clear()
+    qq_ = "hay0 hay1 hay2 needle0 needle1"
+    auto = skewed.search(qq_, limit=10, prune="auto").hits
+    m = engine.last_prune_metrics
+    assert m is not None and m["bailed"] is False
+    assert m["surviving_fraction"] <= engine.prune_bail_fraction
+    assert m["surviving_blocks"] < m["total_blocks"] * 0.2
+    exhaustive = skewed.search(qq_, limit=10, prune=False).hits
     assert list(auto["docid"]) == list(exhaustive["docid"])
     assert np.array_equal(
         np.asarray(auto["score"], dtype=np.float32),
