@@ -682,6 +682,14 @@ class IndexMaintenance:
         therefore skips any directory written within
         ``orphan_grace_sec`` (default :attr:`orphan_grace_sec`, 1h);
         pass ``0`` only when no concurrent writer can exist.
+
+        Note: the grace window protects UNPUBLISHED in-flight writes
+        only.  Superseded segments (a manifest row stamped with
+        ``superseded_at``) are provably published and are reclaimed
+        IMMEDIATELY, however recently they were superseded — a reader
+        opened before the supersede loses their data dirs mid-query,
+        which is exactly the "no pinned readers" contract above.  Do not
+        rely on the 1h window as a reader-safety margin.
         """
         if orphan_grace_sec is not None:
             self.orphan_grace_sec = float(orphan_grace_sec)

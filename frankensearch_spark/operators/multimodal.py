@@ -119,16 +119,29 @@ def _decode_header(blob: bytes) -> tuple[int, int, int]:
     return width, height, channels
 
 
-def _decode_real(blob: bytes):  # pragma: no cover - library not installed
-    """Real decode seam: plug PIL / soundfile / av here when available."""
+def _decode_real(blob: bytes) -> tuple[int, int, int]:
+    """Real image decode: PIL when importable, else a declared seam.
+
+    ``decode_media_meta`` routes any blob that is NOT a FAKE container
+    here, so plugging in PIL (or extending to soundfile / av for
+    audio/video kinds) upgrades the whole pipeline without touching the
+    Spark plumbing — the mapInPandas batch shape, schema, and
+    partitioning are identical either way.  The FAKE container remains
+    the deterministic conformance gate (its oracle parquet is
+    precomputed); real decodes are covered by a PIL-marked test that
+    skips cleanly when the library is absent.
+    """
     try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
+        import PIL.Image
+    except ImportError as exc:  # pragma: no cover - PIL present in some envs
         raise NotImplementedError(
             "real media decode requires an image library (PIL); "
             "this environment ships the FAKE-container stub only"
         ) from exc
-    raise NotImplementedError("real decode not wired in this build")
+    import io
+
+    with PIL.Image.open(io.BytesIO(blob)) as im:
+        return int(im.width), int(im.height), len(im.getbands())
 
 
 def decode_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
@@ -148,7 +161,12 @@ def decode_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[media_col]):
                 blob = bytes(blob)
-                width, height, channels = _decode_header(blob)
+                try:
+                    width, height, channels = _decode_header(blob)
+                except (ValueError, struct.error):
+                    # not a FAKE container → the real-decode seam (PIL
+                    # when importable, NotImplementedError otherwise)
+                    width, height, channels = _decode_real(blob)
                 rows.append((doc_id, width, height, channels, len(blob)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "channels", "n_bytes"]

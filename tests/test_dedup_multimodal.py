@@ -189,3 +189,52 @@ def test_dedup_exact_skew_and_collision_safety(spark):
     assert dupes.drop("d00000").all()
     uniq = out[out.index.str.startswith("u")]
     assert not uniq.any()
+
+
+# ── real-decode seam (optional PIL) ──────────────────────────────────────
+
+#: hand-crafted 1×1 red PNG (no image library needed to EMBED it; PIL is
+#: needed to decode it, which is exactly the seam under test)
+_PNG_1x1 = __import__("base64").b64decode(
+    b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+    b"z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _pil_available(), reason="PIL not installed")
+def test_real_png_decode_via_pil(spark):
+    """With PIL importable, decode_media_meta handles REAL image bytes
+    through the same mapInPandas plumbing the FAKE container uses."""
+    from frankensearch_spark.operators.multimodal import decode_media_meta
+
+    df = spark.createDataFrame([("p1", bytearray(_PNG_1x1))], "doc_id string, media binary")
+    out = decode_media_meta(df).toPandas().set_index("doc_id")
+    assert int(out.loc["p1", "width"]) == 1
+    assert int(out.loc["p1", "height"]) == 1
+    assert int(out.loc["p1", "n_bytes"]) == len(_PNG_1x1)
+
+
+@pytest.mark.skipif(_pil_available(), reason="covers the PIL-absent path")
+def test_real_decode_seam_declared_without_pil(spark):
+    """Without PIL the non-FAKE blob path must fail loudly at the declared
+    seam (NotImplementedError), never decode garbage silently."""
+    import struct as _struct
+
+    from frankensearch_spark.operators.multimodal import decode_media_meta
+
+    df = spark.createDataFrame(
+        [("p1", bytearray(_PNG_1x1))], "doc_id string, media binary"
+    )
+    with pytest.raises(Exception) as exc_info:
+        decode_media_meta(df).toPandas()
+    # the Spark task wraps it, but the seam's message must surface
+    assert "real media decode requires an image library" in str(exc_info.value)
