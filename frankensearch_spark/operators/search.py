@@ -424,11 +424,33 @@ class SearchEngine:
           an open-time row once the files merged, so it may become
           visible early — never the reverse.  The count is refreshed
           with the frame, so the two never desync.
+
+        The count check alone has a blind spot: ``gc(expire_history=
+        True)`` under a pinned reader drops tombstone rows of segments
+        it expired, and deletes appended elsewhere since open could
+        inflate the re-derived count back over the open-time count,
+        masking the loss (resurrecting docs).  gc also removes the
+        expired segments' manifest rows entirely, so the blind spot is
+        detectable set-wise: any pinned live segment with NO row left in
+        the current manifest means history was expired under this pin —
+        raise instead of trusting the count.  (A segment merely
+        *superseded* by compaction keeps its row and its tombstone rows
+        until gc, so normal compaction under a pin does not trip this.)
         """
         last_n = -1
+        missing: list[int] = []
         for attempt in range(5):
             if attempt:
                 time.sleep(0.2 * attempt)
+            # set-based guard first (see docstring); recomputed per
+            # attempt so a torn manifest rewrite window retries rather
+            # than false-positives
+            present = {
+                int(r["segment_id"]) for r in self.storage.manifest_snapshot()
+            }
+            missing = sorted(set(self.live_segments) - present)
+            if missing:
+                continue
             df, n = self.storage.pinned_tombstones(
                 self.generation,
                 live_segments=self.live_segments,
@@ -441,6 +463,14 @@ class SearchEngine:
                 return df
             if df is not None:
                 df.unpersist()
+        if missing:
+            raise RuntimeError(
+                f"pinned live segments {missing} have no manifest row left "
+                "— gc(expire_history=True) ran under this pinned reader "
+                "and expired its snapshot's history (tombstone rows for "
+                "those segments are gone too, so re-derivation would "
+                "silently resurrect their deleted docs); reopen the engine"
+            )
         raise RuntimeError(
             "pinned tombstone re-derivation saw only "
             f"{last_n} of the {self._tombstone_count} open-time tombstones "

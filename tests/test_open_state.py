@@ -479,3 +479,42 @@ def test_lazy_tombstone_fallback_refuses_short_rederivation(spark, tmp_path_fact
     _shutil.rmtree(idx.storage.path("tombstones"))
     with pytest.raises(RuntimeError, match="reopen the engine"):
         reader.search("w1", limit=5)
+
+
+def test_rederive_raises_when_gc_expired_pinned_history(spark, tmp_path_factory):
+    """The count lower-bound alone can be MASKED: post-open deletes at the
+    pinned generation into a still-live segment can inflate the re-derived
+    count past the open-time count while gc(expire_history=True) silently
+    dropped another pinned segment's tombstone rows (resurrecting its
+    deleted docs).  gc also removes the expired segment's manifest rows,
+    so the fallback detects the case set-wise — any pinned live segment
+    with no manifest row left raises instead of trusting the count."""
+    idx, d = _build(spark, tmp_path_factory, "os_fb_gcpin", segs=2)
+    rows = (
+        idx.storage.read("docs").select("doc_id", "segment_id").collect()
+    )
+    segs = sorted({int(r["segment_id"]) for r in rows})
+    assert len(segs) == 2
+    a, b = segs
+    a_ids = [r["doc_id"] for r in rows if int(r["segment_id"]) == a][:3]
+    b_ids = [r["doc_id"] for r in rows if int(r["segment_id"]) == b][:5]
+
+    idx.delete(a_ids)  # open-time tombstones live in segment A
+    reader = LexicalIndex(spark, d)
+    eng = reader.engine
+    assert eng._tombstones_pending and eng._tombstone_count == len(a_ids)
+
+    # post-open deletes at the SAME pinned generation, into segment B:
+    # these alone push the re-derived count past the open-time count
+    LexicalIndex(spark, d).delete(b_ids)
+
+    # supersede ONLY segment A (B stays live), then expire history:
+    # gc drops A's manifest row, tombstone rows, and data dirs
+    m = idx.maintenance
+    _, nxt = idx.storage.next_bases()
+    m._rewrite_segments({a: nxt})
+    m._publish_supersede({a: nxt}, fold_tombstones=True)
+    m.gc()
+
+    with pytest.raises(RuntimeError, match="no manifest row left"):
+        reader.search("w1", limit=5)
