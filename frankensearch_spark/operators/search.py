@@ -97,12 +97,12 @@ SEGMENT_PIN_ISIN_MAX = _STORAGE_PIN_MAX  # single source: sources/storage.py
 #: immediately and AQE keeps sizing the exchange.
 SMALL_PIVOT_MAX_ROWS = 1_000_000
 
-#: Keep the in-plan dictionary fold exchange-free (coalesce(1)) only up
-#: to this many live segments: the coalesce collapses the subtree's scan
-#: parallelism along with its partition count, so past a compacted-index
-#: segment count the serial read of every live file dominates the query
-#: (measured 6.8 s at 1,500 segments vs ~10 ms compacted).
-DICT_FOLD_COALESCE_MAX_SEGMENTS = 64
+#: Inline query-term leaf_id/weight as a literal CASE chain (zero joins,
+#: zero broadcast-build jobs) only up to this many term rows: past it the
+#: expression tree's construction/codegen cost outgrows the one broadcast
+#: build it saves (wide globs route through their own InSet/semi-join
+#: gates before reaching here anyway).
+QTERM_INLINE_MAX = 64
 
 
 @dataclass
@@ -1179,13 +1179,56 @@ class SearchEngine:
         reads only the query terms' row groups instead of every term in
         the bucket — the difference between O(query postings) and
         O(bucket bytes) IO per query.
-        """
+
+        Small queries (unique (field, term) pairs, ≤ :data:`QTERM_INLINE_MAX`
+        rows — every interactive query) inline ``leaf_id``/``weight`` as a
+        literal CASE chain on (field, term) instead of broadcast-joining a
+        qterms frame: the broadcast build is a separately SCHEDULED job per
+        query (~40–90 ms of pure overhead at sf0.1), while the CASE chain is
+        free — the plan becomes scan → project, zero joins.  Semantics are
+        identical: the CASE chain assigns a row's leaf only on an exact
+        (field, term) match and the isNotNull filter drops the cross terms
+        the isin superset admits.  Duplicate (field, term) pairs across
+        leaves need one output row PER leaf, which only the join form
+        produces — they (and glob-scale row lists) keep the join."""
+        postings = postings.where(F.col("term").isin(sorted({r[2] for r in rows})))
+        if (
+            len(rows) <= QTERM_INLINE_MAX
+            and len({(r[1], r[2]) for r in rows}) == len(rows)
+        ):
+            leaf_expr = F.lit(None).cast("int")
+            weight_expr = F.lit(None).cast("float")
+            for lid, fld, term, w, _b in rows:
+                cond = (F.col("field") == fld) & (F.col("term") == term)
+                leaf_expr = F.when(cond, F.lit(int(lid))).otherwise(leaf_expr)
+                weight_expr = F.when(cond, F.lit(float(w)).cast("float")).otherwise(
+                    weight_expr
+                )
+            joined = (
+                postings.where(F.col("field").isin(sorted({r[1] for r in rows})))
+                .withColumn("leaf_id", leaf_expr)
+                .withColumn("weight", weight_expr)
+                .where(F.col("leaf_id").isNotNull())
+            )
+            joined = with_decoded_docids(joined, is_delta_layout(postings))
+            return joined.select(
+                "leaf_id",
+                "field",
+                "weight",
+                F.explode_outer(F.arrays_zip("dec", "entries")).alias("e"),
+            ).select(
+                "leaf_id",
+                "field",
+                "weight",
+                F.col("e.dec").alias("docid"),
+                F.col("e.entries.freq").alias("freq"),
+                F.col("e.entries.fnid").alias("fnid"),
+            )
         qterms = values_frame(
             self.spark,
             rows,
             "leaf_id int, field string, term string, weight float, bucket int",
         )
-        postings = postings.where(F.col("term").isin(sorted({r[2] for r in rows})))
         joined = postings.join(
             F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
         )
@@ -1336,114 +1379,32 @@ class SearchEngine:
         return self._score_rows(exploded)
 
     def _term_leaf_frame(self, leaves: list[LeafSpec]) -> Optional[DataFrame]:
-        cached = all(
-            (l.field, l.term) in self._doc_freq_cache for l in leaves
-        )
-        if cached or "term_df" not in self._base_table("postings").columns:
-            # dfs already resolved (auto-prune dispatch, a prior query, or
-            # a legacy index without the embedded dictionary): weights are
-            # a driver-side float32 computation, dead leaves drop here
-            rows = self._term_weight_rows(leaves)
-            if not rows:
-                return None
-            buckets = sorted({r[4] for r in rows})
-            postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
-            return self._score_rows(self._exploded_postings(rows, postings))
-        return self._term_leaf_frame_inplan(leaves)
+        """Score term leaves from driver-resolved BM25 weights.
 
-    def _term_leaf_frame_inplan(self, leaves: list[LeafSpec]) -> DataFrame:
-        """Term leaves scored WITHOUT a driver-side dictionary probe.
+        Doc frequencies resolve through the snapshot-pinned probe cache
+        (:meth:`_doc_freqs` — one tiny bucket-pruned dictionary job per
+        NOVEL (field, term), zero jobs afterwards), mirroring the
+        reference's TermScorer, which resolves weights from the in-memory
+        term dictionary at scorer construction (``argus.rs:1521``).
 
-        The snapshot doc-freq is derived inside the query plan from the
-        embedded dictionary (``term_df`` on ``block_id = 0`` rows, summed
-        over live segments), and the BM25 term weight — the exact float32
-        chain of ``contract.py::term_weight``/``idf`` — is computed
-        JVM-side from it, so a cold term query is ONE Spark action: the
-        dictionary aggregate rides the same bucket-pruned postings scan as
-        a broadcast subtree instead of a separate collect job (the
-        reference resolves TermScorer weights inline during scorer
-        construction too, ``argus.rs:1521``).  ``idf``'s logarithm is
-        f64-``ln`` rounded once to f32 — exactly Spark's ``LN`` + cast —
-        and every other op is a single f32 operation evaluated in f64 and
-        cast back (innocuous double rounding), so scores stay hash-exact
-        with the driver-weight path and the DuckDB oracle.
-        """
-        qrows = [
-            (
-                l.leaf_id,
-                l.field,
-                l.term,
-                float(l.boost),
-                _bucket(l.term, self.meta.num_buckets),
-            )
-            for l in leaves
-        ]
-        qterms = values_frame(
-            self.spark,
-            qrows,
-            "leaf_id int, field string, term string, boost float, bucket int",
-        )
-        buckets = sorted({r[4] for r in qrows})
-        postings = self._read_live("postings").where(
-            F.col("bucket").isin(buckets)
-            # literal pushdown → term-clustered row-group pruning
-            & F.col("term").isin(sorted({r[2] for r in qrows}))
-        )
-        matched = postings.join(
-            F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
-        )
-        weight = self._expr_cache.get("inplan_weight")
-        if weight is None:
-            f32 = lambda c: c.cast("float")  # noqa: E731
-            n = F.col("df")
-            num = f32(f32(F.lit(self.doc_count) - n) + F.lit(0.5).cast("float"))
-            den = f32(f32(n) + F.lit(0.5).cast("float"))
-            ratio = f32(num / den)
-            idf_ = f32(F.log(f32(F.lit(1.0).cast("float") + ratio)))
-            one_plus_k1 = float(np.float32(1.0) + BM25_K1)
-            w = f32(idf_ * F.lit(one_plus_k1).cast("float"))
-            weight = f32(w * f32(F.col("boost"))).alias("weight")
-            self._expr_cache["inplan_weight"] = weight
-        # coalesce(1) keeps the dictionary subtree exchange-free (the rows
-        # are <= leaves x segments, and a single partition satisfies the
-        # aggregate's clustering requirement) — but it also collapses the
-        # subtree's SCAN to one serial task reading every live file, which
-        # at 1500 segments measured 6.8 s for a job that is ~10 ms on a
-        # compacted index.  Gate it: exchange-free only while the live
-        # file count is small; past that, the normal partial-agg +
-        # exchange plan keeps the scan parallel (one tiny extra stage).
-        dict_src = matched.where(F.col("block_id") == 0).select(
-            "leaf_id", "boost", "term_df"
-        )
-        if len(self.live_segments) <= DICT_FOLD_COALESCE_MAX_SEGMENTS:
-            dict_src = dict_src.coalesce(1)
-        dict_rows = dict_src.groupBy("leaf_id", "boost").agg(
-            F.sum("term_df").alias("df")
-        )
-        weights = dict_rows.select("leaf_id", weight)
-        expl = self._expr_cache.get("inplan_explode_cols")
-        if expl is None:
-            expl = (
-                [F.explode_outer(F.arrays_zip("dec", "entries")).alias("e")],
-                [
-                    F.col("e.dec").alias("docid"),
-                    F.col("e.entries.freq").alias("freq"),
-                    F.col("e.entries.fnid").alias("fnid"),
-                ],
-            )
-            self._expr_cache["inplan_explode_cols"] = expl
-        # narrow before the staged decode: each withColumn pass re-analyzes
-        # the plan beneath it, so decode over 4 columns, not the full
-        # postings row (positions etc. would be pruned at optimize time
-        # anyway, but construction pays analysis per stage)
-        narrowed = matched.select("leaf_id", "field", "first_doc", "entries")
-        exploded = (
-            with_decoded_docids(narrowed, is_delta_layout(postings))
-            .select("leaf_id", "field", *expl[0])
-            .select("leaf_id", "field", *expl[1])
-        )
-        rows = exploded.join(F.broadcast(weights), on="leaf_id")
-        return self._score_rows(rows)
+        This replaces the round-3 in-plan dictionary fold, which kept a
+        cold query at one py4j action by re-aggregating the embedded
+        dictionary as a broadcast SUBTREE of the scoring plan — but that
+        subtree is a separately scheduled Spark job on every execution
+        (measured 0.3–0.5 s/query at sf0.1, the single largest fixed cost
+        in the warm-query profile), and nothing ever wrote the df back,
+        so even repeated identical queries re-paid it.  The probe costs
+        the same dictionary scan ONCE per term and caches it; dead
+        leaves (df = 0) drop here, exactly as the fold's inner join
+        dropped them.  Weights are float32-exact either way (pinned by
+        test_contract.py), so scores are hash-identical across the two
+        designs."""
+        rows = self._term_weight_rows(leaves)
+        if not rows:
+            return None
+        buckets = sorted({r[4] for r in rows})
+        postings = self._read_live("postings").where(F.col("bucket").isin(buckets))
+        return self._score_rows(self._exploded_postings(rows, postings))
 
     def _score_rows(self, rows: DataFrame) -> DataFrame:
         """(leaf_id, field, weight, docid, freq, fnid) -> (docid, leaf_id, score).
@@ -1500,18 +1461,53 @@ class SearchEngine:
             (i, leaf.field, t, int(off), _bucket(t, self.meta.num_buckets))
             for i, (t, off) in enumerate(zip(terms, offsets))
         ]
-        qterms = values_frame(
-            self.spark, qrows, "ord int, field string, term string, off int, bucket int"
-        )
         buckets = sorted({r[4] for r in qrows})
         postings = self._read_live("postings").where(
             F.col("bucket").isin(buckets)
             # literal pushdown → term-clustered row-group pruning
             & F.col("term").isin(sorted({r[2] for r in qrows}))
         )
-        matched = postings.join(
-            F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
-        )
+        if len(qrows) <= QTERM_INLINE_MAX:
+            # Inline the member terms' (ord, off) rows as a literal CASE
+            # chain + explode instead of broadcast-joining a qterms frame
+            # (the broadcast build is a separately scheduled job per
+            # query; see _exploded_postings).  A phrase may REPEAT a term
+            # ("w3 w3") and the join emitted one row per occurrence — the
+            # explode over a per-term literal array<struct<ord, off>>
+            # reproduces exactly that, and explode(NULL) drops unmatched
+            # rows just as the inner join did.
+            by_pair: dict[tuple, list] = {}
+            for i, fld, t, off, _b in qrows:
+                by_pair.setdefault((fld, t), []).append((i, off))
+            oo_expr = F.lit(None).cast("array<struct<ord:int,off:int>>")
+            for (fld, t), occ in by_pair.items():
+                arr = F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(i)).alias("ord"), F.lit(int(off)).alias("off")
+                        )
+                        for i, off in occ
+                    ]
+                )
+                cond = (F.col("field") == fld) & (F.col("term") == t)
+                oo_expr = F.when(cond, arr).otherwise(oo_expr)
+            matched = (
+                postings.where(
+                    F.col("field").isin(sorted({r[1] for r in qrows}))
+                )
+                .withColumn("oo", F.explode(oo_expr))
+                .withColumn("ord", F.col("oo.ord"))
+                .withColumn("off", F.col("oo.off"))
+            )
+        else:
+            qterms = values_frame(
+                self.spark,
+                qrows,
+                "ord int, field string, term string, off int, bucket int",
+            )
+            matched = postings.join(
+                F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
+            )
         rows = (
             with_decoded_docids(matched, is_delta_layout(postings))
             .select(

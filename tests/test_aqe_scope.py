@@ -121,24 +121,61 @@ def test_small_pivot_gate_rank_identical_both_sides(spark, tmp_path_factory, mon
     assert small.total_count == aqe.total_count
 
 
-def test_dict_fold_exchange_path_rank_identical(spark, tmp_path_factory, monkeypatch):
-    """Past DICT_FOLD_COALESCE_MAX_SEGMENTS the in-plan dictionary fold
-    keeps its scan parallel (partial agg + exchange instead of
-    coalesce(1)); both plans must be hash-identical."""
-    from frankensearch_spark.operators import search as search_mod
-
-    d = str(tmp_path_factory.mktemp("dict_fold_ix"))
+def test_warm_term_query_is_two_jobs_and_probe_free(spark, tmp_path_factory):
+    """Round-5 job-count pin: a steady-state single-term search runs
+    exactly TWO Spark jobs — the scoring action and the two-phase
+    hydration — with no broadcast-build or dictionary jobs in between.
+    The qterms/weight sides are inlined as literal CASE expressions
+    (QTERM_INLINE_MAX) and the dictionary probe is served by the
+    snapshot-pinned df cache after the first occurrence.  A regression
+    that re-adds a per-query scheduled job (a broadcast build, a
+    dictionary re-aggregation, a conf-rebind fallback) fails here."""
+    d = str(tmp_path_factory.mktemp("jobpin_ix"))
     corpus = synthetic_transcripts(spark, 400, vocab_size=100)
     idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=3, num_buckets=4)
-    coalesced = idx.search("w1 w2", limit=10).hits
-    monkeypatch.setattr(search_mod, "DICT_FOLD_COALESCE_MAX_SEGMENTS", 0)
-    fresh = LexicalIndex(spark, d)  # new engine: no cached plan pieces
-    exchanged = fresh.search("w1 w2", limit=10).hits
-    assert list(coalesced["docid"]) == list(exchanged["docid"])
+    eng = idx.engine
+    sc = spark.sparkContext
+
+    cold_hits = idx.search("w3", limit=10).hits  # cold: probes + caches df
+    assert ("content", "w3") in eng._doc_freq_cache
+
+    before = dict(eng._doc_freq_cache)
+    eng._query_cache.clear()
+    sc.setJobGroup("warm-w3", "warm single-term")
+    try:
+        warm_hits = idx.search("w3", limit=10).hits
+    finally:
+        sc.setJobGroup("warm-w3-done", "")
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("warm-w3"))
+    assert n_jobs <= 2, f"warm single-term ran {n_jobs} jobs (want <= 2)"
+    assert eng._doc_freq_cache == before  # served from the pinned cache
+    assert list(cold_hits["docid"]) == list(warm_hits["docid"])
     assert np.array_equal(
-        np.asarray(coalesced["score"], dtype=np.float32),
-        np.asarray(exchanged["score"], dtype=np.float32),
+        np.asarray(cold_hits["score"], dtype=np.float32),
+        np.asarray(warm_hits["score"], dtype=np.float32),
     )
+
+
+def test_qterm_inline_path_equals_broadcast_join(spark, tmp_path_factory, monkeypatch):
+    """The literal CASE inline of leaf_id/weight (and the phrase path's
+    (ord, off) explode) must be hash-identical to the broadcast-join
+    form it replaced — forced by dropping QTERM_INLINE_MAX to 0."""
+    from frankensearch_spark.operators import search as search_mod
+
+    d = str(tmp_path_factory.mktemp("qinline_ix"))
+    corpus = synthetic_transcripts(spark, 400, vocab_size=100)
+    idx = LexicalIndex.build_transcripts(spark, corpus, d, num_segments=3, num_buckets=4)
+    queries = ["w1 w2", "w3", '"w3 w3"', "w12 AND w47", "w3 -w47"]
+    inlined = {q: idx.search(q, limit=10).hits for q in queries}
+    monkeypatch.setattr(search_mod, "QTERM_INLINE_MAX", 0)
+    fresh = LexicalIndex(spark, d)  # new engine: no cached plan pieces
+    for q in queries:
+        joined = fresh.search(q, limit=10).hits
+        assert list(inlined[q]["docid"]) == list(joined["docid"]), q
+        assert np.array_equal(
+            np.asarray(inlined[q]["score"], dtype=np.float32),
+            np.asarray(joined["score"], dtype=np.float32),
+        ), q
 
 
 def test_noaqe_rebind_engages_on_this_spark_version(spark, tmp_path_factory):

@@ -111,17 +111,25 @@ def test_validate_budget_rejects_nonpositive():
 
 
 def test_default_budget_admits_without_probing(built):
-    """The pessimistic pass must keep the term hot path at one action:
-    admission under the default budget resolves NO doc frequencies."""
+    """The pessimistic pass must keep ADMISSION zero-job: charging fuel
+    under the default budget resolves NO doc frequencies.  (Execution
+    itself probes-and-caches novel terms by design — the admission check
+    is scoped to _charge_fuel, not the whole search.)"""
+    from frankensearch_spark.plans.eval import compile_query
+    from frankensearch_spark.plans.query import canonicalize_query
+
     engine = built.engine
     assert engine.query_fuel_budget == fuel.DEFAULT_QUERY_FUEL_BUDGET
     before = dict(engine._doc_freq_cache)
+    plan = compile_query(canonicalize_query(engine._parse("common")))
+    charged = engine._charge_fuel(plan)
+    assert charged is not None
+    assert engine._doc_freq_cache == before  # admission did not probe
     result = built.search("common", limit=5)
     assert len(result.hits) > 0
     assert engine.last_fuel_units is not None
     # the charge rides the result (the profile-receipt fuel counter)
     assert result.fuel_units == engine.last_fuel_units
-    assert engine._doc_freq_cache == before  # no driver-side probe happened
 
 
 def test_exhaustion_raises_with_consumed_and_budget(built, spark, tmp_path_factory):
