@@ -99,7 +99,9 @@ def reencode_absolute_entries_expr() -> Column:
     )
 
 
-def with_decoded_docids(df: DataFrame, delta: bool, col: str = "dec") -> DataFrame:
+def with_decoded_docids(
+    df: DataFrame, delta: bool, col: str = "dec", compact: bool = False
+) -> DataFrame:
     """Append ``col``: the block row's absolute docids as ``array<long>``.
 
     Gap layout: inclusive Hillis-Steele scan over ``entries.d`` (7 staged
@@ -107,9 +109,21 @@ def with_decoded_docids(df: DataFrame, delta: bool, col: str = "dec") -> DataFra
     added once per entry.  Legacy layout: a plain projection.  Callers
     ``arrays_zip(col, "entries", ...)`` and explode — the scan runs once
     per BLOCK row, before the explode multiplies rows.
-    """
+
+    ``compact=True`` swaps the 7 staged passes (9 ``withColumn`` plan
+    nodes ≈ 9 py4j round-trips + as many optimizer nodes) for ONE
+    ``aggregate`` expression doing a sequential scan with an array
+    accumulator.  Its per-element ``concat`` makes the per-block work
+    quadratic — measured ~1.2× slower than the staged form on a
+    whole-index decode — so callers enable it only when the driver-known
+    posting volume is small (interactive term queries, where the ~70 ms
+    of saved per-query construction dominates a few hundred blocks'
+    decode).  Scan-heavy paths (wide globs, maintenance, unknown df)
+    keep the staged form.  Output is bit-identical (pinned by test)."""
     if not delta:
         return df.withColumn(col, _decode_expr("legacy", col))
+    if compact:
+        return df.withColumn(col, _decode_expr("compact", col))
     df = df.withColumn(col, _decode_expr("init", col))
     step = 1
     while step < POSTINGS_PER_BLOCK:
@@ -132,6 +146,15 @@ def _decode_expr(stage, col: str) -> Column:
         return cached
     if stage == "legacy":
         e = F.expr("transform(entries, e -> e.docid)")
+    elif stage == "compact":
+        # one-expression inclusive scan; acc.s carries the running
+        # absolute docid (seeded with first_doc; entry 0's gap is 0)
+        e = F.expr(
+            "aggregate(entries, "
+            "struct(first_doc as s, cast(array() as array<bigint>) as a), "
+            "(acc, e) -> struct(acc.s + e.d as s, "
+            "concat(acc.a, array(acc.s + e.d)) as a)).a"
+        )
     elif stage == "init":
         e = F.expr("transform(entries, e -> bigint(e.d))")
     elif stage == "final":

@@ -104,6 +104,15 @@ SMALL_PIVOT_MAX_ROWS = 1_000_000
 #: gates before reaching here anyway).
 QTERM_INLINE_MAX = 64
 
+#: Use the ONE-expression compact gap decode (codec.with_decoded_docids
+#: compact=True) when the query's driver-known summed doc frequency is at
+#: most this many postings.  The compact scan trades ~1.2× decode CPU
+#: (quadratic per-block concat) for 8 fewer plan nodes and py4j round
+#: trips per decode site (~70 ms of per-query construction); at 4M
+#: postings the extra decode work is ~100 ms spread across the cluster,
+#: past it the staged zip_with form wins back.
+COMPACT_DECODE_MAX_POSTINGS = 4_000_000
+
 
 @dataclass
 class SearchResult:
@@ -1170,6 +1179,20 @@ class SearchEngine:
             )
         return rows
 
+    def _compact_decode_ok(self, pairs) -> bool:
+        """True when every (field, term) df is cached and their sum stays
+        under :data:`COMPACT_DECODE_MAX_POSTINGS` — the zero-job gate for
+        the one-expression compact gap decode.  Unknown dfs fail safe to
+        the staged decode (an unprobed pair usually means a scan-heavy
+        path resolved its weights elsewhere)."""
+        total = 0
+        for pair in pairs:
+            df_ = self._doc_freq_cache.get(pair)
+            if df_ is None:
+                return False
+            total += df_
+        return total <= COMPACT_DECODE_MAX_POSTINGS
+
     def _exploded_postings(self, rows: list[tuple], postings: DataFrame) -> DataFrame:
         """Join query-term rows against postings and explode to per-doc rows.
 
@@ -1192,6 +1215,9 @@ class SearchEngine:
         leaves need one output row PER leaf, which only the join form
         produces — they (and glob-scale row lists) keep the join."""
         postings = postings.where(F.col("term").isin(sorted({r[2] for r in rows})))
+        compact = self._compact_decode_ok(
+            (r[1], r[2]) for r in rows
+        )
         if (
             len(rows) <= QTERM_INLINE_MAX
             and len({(r[1], r[2]) for r in rows}) == len(rows)
@@ -1210,7 +1236,9 @@ class SearchEngine:
                 .withColumn("weight", weight_expr)
                 .where(F.col("leaf_id").isNotNull())
             )
-            joined = with_decoded_docids(joined, is_delta_layout(postings))
+            joined = with_decoded_docids(
+                joined, is_delta_layout(postings), compact=compact
+            )
             return joined.select(
                 "leaf_id",
                 "field",
@@ -1232,7 +1260,9 @@ class SearchEngine:
         joined = postings.join(
             F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
         )
-        joined = with_decoded_docids(joined, is_delta_layout(postings))
+        joined = with_decoded_docids(
+            joined, is_delta_layout(postings), compact=compact
+        )
         return joined.select(
             "leaf_id",
             "field",
@@ -1509,7 +1539,11 @@ class SearchEngine:
                 F.broadcast(qterms), on=["field", "term", "bucket"], how="inner"
             )
         rows = (
-            with_decoded_docids(matched, is_delta_layout(postings))
+            with_decoded_docids(
+                matched,
+                is_delta_layout(postings),
+                compact=self._compact_decode_ok(set(pairs)),
+            )
             .select(
                 "ord",
                 "off",

@@ -88,6 +88,16 @@ def get_spark(
         # barrier, so a crashed job's stray task files are invisible and
         # replaced by the replay's dynamic partition overwrite.
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        # PySpark 4's DataFrame-debugging wrapper (on by default) runs
+        # getActiveSession + a conf read + a JVM PySparkCurrentOrigin
+        # set/clear + a Python stack capture around EVERY DataFrame and
+        # Column call — profiled at ~60% of the ~500 py4j round-trips a
+        # warm query's plan construction makes (~120 ms/query at sf0.1),
+        # and it taxes build-side plan construction the same way.  All it
+        # buys is the Python call-site line in error messages; the engine
+        # pins behavior by test, so trade the prettier traceback for the
+        # hot path.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if not external:
         # local-mode sizing only (under spark-submit the launch command

@@ -138,3 +138,42 @@ def test_absolute_entries_refused_then_backfilled(spark, gap_index, tmp_path):
     for q in QUERIES:
         assert _hits(idx, q) == expected[q], q
     assert idx.maintenance.backfill_delta_entries() == 0  # idempotent
+
+
+def test_compact_decode_identical_to_staged(spark, gap_index):
+    """The one-expression compact scan (with_decoded_docids compact=True,
+    the interactive-query construction fast path) must be bit-identical
+    to the staged 7-pass zip_with scan on EVERY block of a real index."""
+    d, _, _ = gap_index
+    p = spark.read.parquet(IndexStorage(spark, d).path("postings"))
+    key = ["field", "term", "segment_id", "block_id"]
+    staged = with_decoded_docids(p, True).select(*key, "dec").orderBy(*key).collect()
+    compact = (
+        with_decoded_docids(p, True, compact=True)
+        .select(*key, "dec")
+        .orderBy(*key)
+        .collect()
+    )
+    assert len(staged) == len(compact) > 0
+    for a, b in zip(staged, compact):
+        assert tuple(a[k] for k in key) == tuple(b[k] for k in key)
+        assert list(a["dec"]) == list(b["dec"])
+
+
+def test_compact_decode_gate_and_rank_identity(spark, gap_index, monkeypatch):
+    """Warm queries (cached dfs under the postings bound) take the
+    compact decode; forcing the gate shut must give hash-identical
+    hits through the staged form."""
+    from frankensearch_spark.operators import search as search_mod
+
+    d, _, _ = gap_index
+    idx = LexicalIndex(spark, d)
+    queries = ["w1", "w2 w7", '"w1 w1"']
+    fast = {q: _hits(idx, q) for q in queries}
+    assert idx.engine._compact_decode_ok(
+        [("content", "w1")]
+    )  # df cached by the searches above, under the bound
+    monkeypatch.setattr(search_mod, "COMPACT_DECODE_MAX_POSTINGS", -1)
+    staged_idx = LexicalIndex(spark, d)  # fresh engine: no cached plans
+    for q in queries:
+        assert _hits(staged_idx, q) == fast[q], q
