@@ -98,11 +98,12 @@ SEGMENT_PIN_ISIN_MAX = _STORAGE_PIN_MAX  # single source: sources/storage.py
 SMALL_PIVOT_MAX_ROWS = 1_000_000
 
 #: Inline query-term leaf_id/weight as a literal CASE chain (zero joins,
-#: zero broadcast-build jobs) only up to this many term rows: past it the
-#: expression tree's construction/codegen cost outgrows the one broadcast
-#: build it saves (wide globs route through their own InSet/semi-join
-#: gates before reaching here anyway).
-QTERM_INLINE_MAX = 64
+#: zero broadcast-build jobs) only up to this many term rows: the chain's
+#: CONSTRUCTION is ~6 py4j round-trips per term (~0.5 ms each), so past
+#: ~20 terms it costs more than the one ~40-90 ms broadcast-build job it
+#: saves — wide expansions keep the join form (globs route through their
+#: own InSet/semi-join gates before reaching here anyway).
+QTERM_INLINE_MAX = 20
 
 #: Use the ONE-expression compact gap decode (codec.with_decoded_docids
 #: compact=True) when the query's driver-known summed doc frequency is at
