@@ -1097,8 +1097,168 @@ class IndexStorage:
             state["tombstone_count"] = int(
                 state.get("tombstone_count") or 0
             ) + int(tombstones_appended)
+        else:
+            # Record the batch's delta under its (unique) staged
+            # generation so seal() can activate the whole pending window
+            # driver-side: stats grow by exactly these sums and the
+            # staged tombstones add exactly this count when the batch
+            # flips sealed.  A pending generation MISSING from this map
+            # (its commit fell back to the full rollup) makes the seal
+            # fast path fall back too — fail-safe.
+            gens = {int(r[1]) for r in manifest_rows}
+            if len(gens) != 1:
+                return False  # one staged batch == one generation
+            pending = dict(state.get("pending") or {})
+            pending[str(gens.pop())] = {
+                "stats": {
+                    f: [int(v[0]), int(v[1])] for f, v in stats_delta.items()
+                },
+                "tombstones": int(tombstones_appended),
+            }
+            state["pending"] = pending
         self._store_open_state(state)
         return True
+
+    def seal_driver_side(self) -> tuple[list[int], int] | None:
+        """Zero-Spark-job seal: flip every unsealed manifest row sealed,
+        activating the pending window, entirely on the driver.
+
+        The manifest is O(segments) metadata rows; rewriting it through a
+        Spark job costs two scheduled jobs plus the full open-state rollup
+        (~1.5 s of fixed latency per seal — the dominant cost of the
+        stream sink's cadence seal at watch-mode batch sizes).  When the
+        stored rollup is fingerprint-valid it already holds the exact
+        manifest rows AND (via ``pending``, recorded by each unsealed
+        commit) the exact stats/tombstone deltas the activation adds, so
+        the flip is pure driver work: pyarrow-rewrite the manifest table
+        under the same two-slot swap protocol as :meth:`atomic_rewrite`,
+        then publish the incrementally-updated rollup.
+
+        Returns ``(sealed_segment_ids, activation_generation)``, with
+        ``([], current)`` when nothing was pending, or ``None`` when any
+        exactness condition fails (caller falls back to the Spark path):
+        no valid rollup, a pending generation missing from ``pending``
+        (its commit fell back to the full rollup), or an unreadable /
+        schema-surprising manifest file.
+
+        Single-writer contract (same as every maintenance op): a
+        concurrent commit landing between the fingerprint capture and the
+        swap would be clobbered — callers serialize mutations, and the
+        stream sink's cadence seal runs on the micro-batch thread.
+        """
+        import shutil
+        import uuid
+
+        prior_raw = self.open_state_raw()
+        if prior_raw is None:
+            return None
+        rows = prior_raw.get("manifest_rows") or []
+        pending_rows = [r for r in rows if r[3] == "unsealed"]
+        if not pending_rows:
+            return ([], self.state_from_rows(rows).current())
+        pending_gens = {int(r[1]) for r in pending_rows}
+        pending = prior_raw.get("pending") or {}
+        if not all(str(g) in pending for g in pending_gens):
+            return None
+        gen_next = self.state_from_rows(rows).current(include_unsealed=True) + 1
+        root = self.path("manifest")
+        files = prior_raw["fingerprint"].get("manifest") or []
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            tables = [
+                pq.read_table(os.path.join(root, f)) for f in sorted(files)
+            ]
+            tbl = pa.concat_tables(tables, promote_options="permissive")
+            if "sealed_at" not in tbl.column_names:
+                tbl = tbl.append_column(
+                    "sealed_at", pa.nulls(tbl.num_rows, pa.int64())
+                )
+            mask = pc.equal(tbl["status"], pa.scalar("unsealed"))
+            tbl = tbl.set_column(
+                tbl.column_names.index("sealed_at"),
+                "sealed_at",
+                pc.if_else(
+                    mask,
+                    pa.scalar(gen_next, pa.int64()),
+                    pc.cast(tbl["sealed_at"], pa.int64()),
+                ),
+            )
+            tbl = tbl.set_column(
+                tbl.column_names.index("status"),
+                "status",
+                pc.if_else(mask, pa.scalar("sealed"), tbl["status"]),
+            )
+            # Drop the footer's embedded schema metadata: the source
+            # files carry Spark's row-metadata describing their ORIGINAL
+            # (possibly pre-sealed_at) schema, and Spark's reader trusts
+            # that embedded schema over the physical parquet one — the
+            # flipped sealed_at column would silently vanish on read.
+            tbl = tbl.replace_schema_metadata(None)
+            tmp = root + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            pq.write_table(
+                tbl, os.path.join(tmp, f"part-00000-{uuid.uuid4()}.parquet")
+            )
+        except Exception:
+            return None
+        prev = root + ".prev"
+        shutil.rmtree(prev, ignore_errors=True)
+        if os.path.exists(root):
+            os.replace(root, prev)
+        os.replace(tmp, root)
+        shutil.rmtree(prev, ignore_errors=True)
+        # incremental rollup: flip the stored rows the same way and fold
+        # in the recorded per-batch activation deltas
+        new_rows = [
+            [r[0], r[1], gen_next, "sealed", r[4], r[5], r[6]]
+            if r[3] == "unsealed"
+            else list(r)
+            for r in rows
+        ]
+        stats = {
+            f: [int(v[0]), int(v[1])]
+            for f, v in (prior_raw.get("stats") or {}).items()
+        }
+        tomb_n = int(prior_raw.get("tombstone_count") or 0)
+        for g in sorted(pending_gens):
+            delta = pending[str(g)]
+            for f, (d, t) in delta.get("stats", {}).items():
+                base = stats.get(f, [0, 0])
+                stats[f] = [int(base[0]) + int(d), int(base[1]) + int(t)]
+            tomb_n += int(delta.get("tombstones") or 0)
+        self._store_open_state(
+            {
+                "version": OPEN_STATE_VERSION,
+                "fingerprint": self._dir_fingerprint(),
+                "manifest_rows": new_rows,
+                "stats": stats,
+                "tombstone_count": tomb_n,
+            }
+        )
+        return (sorted({int(r[0]) for r in pending_rows}), gen_next)
+
+    @staticmethod
+    def state_from_rows(rows: list) -> GenerationState:
+        """:meth:`state_from_snapshot` over compact (list-form) rows."""
+        sealed_gen = any_gen = 0
+        unsealed: set[int] = set()
+        overrides: dict[int, int] = {}
+        for r in rows:
+            g = int(r[1])
+            act = None if r[2] is None else int(r[2])
+            eff = g if act is None else max(g, act)
+            any_gen = max(any_gen, eff)
+            if r[3] == "sealed":
+                sealed_gen = max(sealed_gen, eff)
+            else:
+                unsealed.add(g)
+            if act is not None and act != g:
+                overrides[g] = act
+        return GenerationState(sealed_gen, any_gen, frozenset(unsealed), overrides)
 
     def stats_rollup(self, stats_df: DataFrame) -> dict[str, tuple[int, int]]:
         """field → (Σ doc_count, Σ total_tokens) over a field_stats frame.

@@ -518,3 +518,86 @@ def test_rederive_raises_when_gc_expired_pinned_history(spark, tmp_path_factory)
 
     with pytest.raises(RuntimeError, match="no manifest row left"):
         reader.search("w1", limit=5)
+
+
+def _jobs_during(spark, group, fn):
+    tracker = spark.sparkContext.statusTracker()
+    spark.sparkContext.setJobGroup(group, group)
+    try:
+        out = fn()
+    finally:
+        jobs = tracker.getJobIdsForGroup(group)
+        spark.sparkContext.setJobGroup(None, None)
+    return out, len(jobs)
+
+
+def _unsealed_replacement(spark, idx, doc_id):
+    conv_id, turn_idx = doc_id.rsplit(":", 1)
+    batch = spark.createDataFrame(
+        [(doc_id, conv_id, int(turn_idx), "user", None, "sealed fastpath replacement")],
+        "doc_id string, conv_id string, turn_idx long, role string, "
+        "tool string, content string",
+    )
+    idx.maintenance.upsert(batch, sort_cols=("conv_id", "turn_idx"), seal=False)
+
+
+def test_seal_fast_path_is_zero_jobs_and_matches_spark_path(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The cadence seal (stream sink) flips pending batches with ZERO
+    Spark jobs when every pending commit recorded its activation delta:
+    pyarrow manifest rewrite + incremental rollup, nothing scheduled.
+    State must be byte-identical to the forced Spark seal path."""
+    import shutil
+
+    from frankensearch_spark.sources.storage import IndexStorage
+
+    idx, d = _build(spark, tmp_path_factory, "os_fastseal")
+    victim = idx.search("w2", limit=1).hits["doc_id"][0]
+    _unsealed_replacement(spark, idx, victim)  # stages 1 tombstone too
+    d2 = str(tmp_path_factory.mktemp("os_fastseal_ctl"))
+    os.rmdir(d2)
+    shutil.copytree(d, d2)
+
+    sealed, n_jobs = _jobs_during(
+        spark, "fast-seal", lambda: idx.maintenance.seal()
+    )
+    assert sealed  # one pending batch flipped
+    assert n_jobs == 0  # the whole point: driver-side flip
+
+    # control: force the Spark fallback on an identical copy
+    monkeypatch.setattr(
+        IndexStorage, "seal_driver_side", lambda self: None
+    )
+    ctl = LexicalIndex(spark, d2)
+    assert ctl.maintenance.seal() == sealed
+    monkeypatch.undo()
+
+    fast, slow = LexicalIndex(spark, d).engine, LexicalIndex(spark, d2).engine
+    assert _engine_state(fast) == _engine_state(slow)
+    # and the re-derived (no-rollup) view agrees with the fast-written one
+    os.remove(os.path.join(d, OPEN_STATE))
+    assert _engine_state(LexicalIndex(spark, d).engine) == _engine_state(fast)
+
+
+def test_seal_fast_path_falls_back_without_pending_delta(
+    spark, tmp_path_factory
+):
+    """A pending commit whose delta is missing from open_state (its
+    publish fell back to the full rollup) must make seal() fall back to
+    the Spark path — never guess an activation delta."""
+    idx, d = _build(spark, tmp_path_factory, "os_fastseal_fb")
+    victim = idx.search("w2", limit=1).hits["doc_id"][0]
+    _unsealed_replacement(spark, idx, victim)
+    path = os.path.join(d, OPEN_STATE)
+    state = json.load(open(path))
+    assert state.get("pending")  # the commit recorded its delta
+    del state["pending"]
+    json.dump(state, open(path, "w"))
+
+    assert idx.storage.seal_driver_side() is None  # refuses, no mutation
+    sealed = idx.maintenance.seal()  # Spark fallback still seals
+    assert sealed
+    eng = LexicalIndex(spark, d).engine
+    os.remove(path)
+    assert _engine_state(LexicalIndex(spark, d).engine) == _engine_state(eng)
