@@ -868,6 +868,27 @@ class IndexStorage:
             "stats": stats,
             "tombstone_count": int(tomb_n),
         }
+        # Carry over recorded activation deltas for batches STILL pending
+        # in this snapshot: the full rollup otherwise drops the `pending`
+        # map, demoting the next seal() to the Spark path even though the
+        # deltas remain exact.  Safe without a fingerprint check because
+        # generations are never reused — an entry for generation g was
+        # written by g's own commit and describes that batch regardless of
+        # what landed since; entries for generations no longer unsealed
+        # are dropped (sealed or superseded — their delta was consumed).
+        parsed = self._open_state_parse()
+        if parsed is not None:
+            prior_pending = parsed[1].get("pending") or {}
+            still_unsealed = {
+                str(int(r["generation"]))
+                for r in snapshot
+                if r["status"] == "unsealed"
+            }
+            kept = {
+                g: d for g, d in prior_pending.items() if g in still_unsealed
+            }
+            if kept:
+                state["pending"] = json.loads(json.dumps(kept))
         self._store_open_state(state)
 
     def _store_open_state(self, state: dict) -> None:

@@ -601,3 +601,27 @@ def test_seal_fast_path_falls_back_without_pending_delta(
     eng = LexicalIndex(spark, d).engine
     os.remove(path)
     assert _engine_state(LexicalIndex(spark, d).engine) == _engine_state(eng)
+
+
+def test_full_rollup_preserves_pending_deltas(spark, tmp_path_factory):
+    """A full rollup between an unsealed commit and its seal must carry
+    over the recorded activation delta — otherwise every intervening
+    full-rollup publish demotes the next seal to the Spark path."""
+    idx, d = _build(spark, tmp_path_factory, "os_pend_carry")
+    victim = idx.search("w2", limit=1).hits["doc_id"][0]
+    _unsealed_replacement(spark, idx, victim)
+    path = os.path.join(d, OPEN_STATE)
+    before = json.load(open(path))
+    assert before.get("pending")
+
+    idx.storage.write_open_state()  # forced full rollup
+    after = json.load(open(path))
+    assert after.get("pending") == before["pending"]
+
+    sealed, n_jobs = _jobs_during(
+        spark, "carry-seal", lambda: idx.maintenance.seal()
+    )
+    assert sealed and n_jobs == 0
+    eng = LexicalIndex(spark, d).engine
+    os.remove(path)
+    assert _engine_state(LexicalIndex(spark, d).engine) == _engine_state(eng)
