@@ -233,6 +233,8 @@ class IndexStorage:
         if table == "terms":
             return self._read_terms()
         path = self.path(table)
+        if not os.path.exists(path):
+            self._recover_interrupted_swap(table)
         # Schema cache: every uncached load() runs a footer-inference job
         # (mergeSchema: one per footer), and a single upsert commit reads
         # docs/tombstones/manifest several times — at watch-mode batch
@@ -393,7 +395,31 @@ class IndexStorage:
         writer.save(self.path(table))
 
     def table_exists(self, table: str) -> bool:
-        return os.path.exists(self.path(table))
+        if os.path.exists(self.path(table)):
+            return True
+        return self._recover_interrupted_swap(table)
+
+    def _recover_interrupted_swap(self, table: str) -> bool:
+        """Crash-only repair for the two-slot directory swap.
+
+        Every table rewrite (:meth:`atomic_rewrite`,
+        :meth:`seal_driver_side`) swaps via ``root → root.prev; tmp →
+        root; rm root.prev``.  A crash between the two renames leaves the
+        table directory ABSENT with only ``.prev`` on disk.  Restoring
+        ``.prev`` when — and only when — the root is missing is safe: it
+        reinstates the pre-rewrite state, and the interrupted mutation's
+        replay converges (seal re-flips; rewrites are idempotent).  When
+        the root exists, a ``.prev`` is just an unfinished cleanup and
+        must never be restored.  Returns True when a restore happened.
+        """
+        prev = self.path(table) + ".prev"
+        if not os.path.exists(prev):
+            return False
+        try:
+            os.replace(prev, self.path(table))
+        except OSError:
+            return False
+        return True
 
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self.index_dir, INDEX_META))
@@ -885,10 +911,27 @@ class IndexStorage:
                 if r["status"] == "unsealed"
             }
             kept = {
-                g: d for g, d in prior_pending.items() if g in still_unsealed
+                g: json.loads(json.dumps(d))
+                for g, d in prior_pending.items()
+                if g in still_unsealed
             }
+            # The tombstone deltas are only distinct-safe while the only
+            # appends since they were recorded came from pending batches
+            # themselves (include_unsealed dedup → mutually disjoint).  A
+            # changed tombstone listing means THIS mutation appended rows
+            # with an unknown dedup scope — a default-view delete could
+            # have re-staged a pending docid, so the counts may
+            # double-count at seal.  Keep the (per-segment, always-safe)
+            # stats deltas but null the tombstone deltas; seal_driver_side
+            # refuses on null and falls back to the exact Spark path.
+            prior_tomb_listing = (parsed[1].get("fingerprint") or {}).get(
+                "tombstones"
+            )
+            if kept and prior_tomb_listing != fingerprint.get("tombstones"):
+                for d in kept.values():
+                    d["tombstones"] = None
             if kept:
-                state["pending"] = json.loads(json.dumps(kept))
+                state["pending"] = kept
         self._store_open_state(state)
 
     def _store_open_state(self, state: dict) -> None:
@@ -969,6 +1012,13 @@ class IndexStorage:
         state = dict(prior_raw)
         state["fingerprint"] = fp
         state["tombstone_count"] = int(prior_raw["tombstone_count"]) + appended
+        # A default-view delete dedups against ACTIVE rows only, so it can
+        # re-stage a docid a pending batch already staged — the recorded
+        # pending tombstone deltas would then double-count it at seal
+        # (the Spark rollup counts DISTINCT docids).  Invalidate them;
+        # seal falls back to the exact Spark path.
+        if appended and state.get("pending"):
+            state.pop("pending")
         self._store_open_state(state)
         return True
 
@@ -1180,6 +1230,13 @@ class IndexStorage:
         pending_gens = {int(r[1]) for r in pending_rows}
         pending = prior_raw.get("pending") or {}
         if not all(str(g) in pending for g in pending_gens):
+            return None
+        # a nulled tombstone delta (interleaved default-view delete may
+        # have re-staged a pending docid — see write_open_state's
+        # carry-over) makes the incremental count unsound: exact path only
+        if any(
+            pending[str(g)].get("tombstones") is None for g in pending_gens
+        ):
             return None
         gen_next = self.state_from_rows(rows).current(include_unsealed=True) + 1
         root = self.path("manifest")

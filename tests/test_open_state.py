@@ -625,3 +625,60 @@ def test_full_rollup_preserves_pending_deltas(spark, tmp_path_factory):
     eng = LexicalIndex(spark, d).engine
     os.remove(path)
     assert _engine_state(LexicalIndex(spark, d).engine) == _engine_state(eng)
+
+
+def test_interrupted_swap_recovers_from_prev(spark, tmp_path_factory):
+    """Crash between the two renames of a directory swap (atomic_rewrite /
+    seal_driver_side) leaves the table dir absent with only `.prev` on
+    disk; the next reader restores it and the interrupted mutation's
+    replay converges."""
+    idx, d = _build(spark, tmp_path_factory, "os_swapcrash")
+    victim = idx.search("w2", limit=1).hits["doc_id"][0]
+    _unsealed_replacement(spark, idx, victim)
+
+    # simulate the crash window mid-seal: root renamed away, tmp not yet in
+    man = os.path.join(d, "manifest")
+    os.replace(man, man + ".prev")
+    os.remove(os.path.join(d, OPEN_STATE))  # fingerprint is stale anyway
+
+    recovered = LexicalIndex(spark, d)
+    eng = recovered.engine  # open triggers the .prev restore
+    assert os.path.isdir(man) and not os.path.exists(man + ".prev")
+    assert eng.doc_count == 400  # pre-seal committed view intact
+
+    sealed = recovered.maintenance.seal()  # the replay converges
+    assert sealed
+    reopened = LexicalIndex(spark, d)
+    eng2 = reopened.engine
+    # replacement, not addition: at-seal stats count both copies (tombstones
+    # don't adjust stats until compaction), the staged tombstone activated,
+    # and exactly ONE live copy of the doc matches the new content
+    assert eng2.doc_count == 401 and eng2._tombstone_count == 1
+    hits = reopened.search("fastpath", limit=5).hits
+    assert list(hits["doc_id"]) == [victim]
+
+
+def test_seal_fast_path_refuses_after_overlapping_sealed_delete(
+    spark, tmp_path_factory
+):
+    """An interactive (default-view) delete dedups against ACTIVE rows
+    only, so it re-stages a docid a pending batch already staged.  The
+    recorded pending delta would double-count that docid at seal — the
+    fast path must refuse and the Spark path must produce the exact
+    distinct count."""
+    idx, d = _build(spark, tmp_path_factory, "os_fastseal_dup")
+    victim = idx.search("w2", limit=1).hits["doc_id"][0]
+    _unsealed_replacement(spark, idx, victim)  # stages old docid at gen gU
+    # sealed delete of the SAME doc: its dedup excludes the pending row,
+    # so the same docid is staged again at the committed generation
+    idx.delete([victim])
+    state = json.load(open(os.path.join(d, OPEN_STATE)))
+    assert not state.get("pending")  # delta invalidated by the delete
+
+    assert idx.storage.seal_driver_side() is None  # refuses
+    sealed = idx.maintenance.seal()  # exact Spark path
+    assert sealed
+    eng = LexicalIndex(spark, d).engine
+    assert eng._tombstone_count == 1  # distinct: the one dead docid
+    os.remove(os.path.join(d, OPEN_STATE))
+    assert _engine_state(LexicalIndex(spark, d).engine) == _engine_state(eng)
