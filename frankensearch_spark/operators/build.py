@@ -249,6 +249,15 @@ def append_segment_batch(
             pre_publish=pre_publish,
             new_segments=list(range(segment_base, segment_base + num_segments)),
             manifest_status=manifest_status,
+            # Small batches: the row count is already known from the
+            # docid prefix-sum job, so skip the dedicated slim.count()
+            # materialization — the table writers materialize the slim
+            # cache concurrently instead (a partition computed twice
+            # during the race costs a ~ms-scale re-tokenize at this size;
+            # the serialized count job it replaces cost ~0.5 s per
+            # watch-mode micro-batch).  Big batches keep the count: there
+            # a duplicated tokenize pass is real work.
+            n_docs=n_docs if n_docs <= STATS_FROM_SLIM_MAX_DOCS else None,
         )
     finally:
         slim.unpersist()
@@ -362,7 +371,10 @@ def write_segment_tables(
         f_postings.result()
         seg_local, seg_rows = f_stats.result()
         staged_tombstones = f_pre.result() if f_pre is not None else None
-    _write_manifest(seg_local, storage, meta, sm_mode, status=manifest_status)
+    _write_manifest(
+        seg_local, storage, meta, sm_mode, status=manifest_status,
+        seg_rows=seg_rows,
+    )
     # commit-time open-state rollup: engines open with zero Spark jobs
     # (sources/storage.py OPEN_STATE); written after the manifest append
     # so a crash here only leaves a stale-fingerprint file (safe fallback).
@@ -1045,6 +1057,32 @@ def _write_stats(
     seg_local = values_frame(
         storage.spark, [tuple(r) for r in seg_rows], ddl
     )
+    # Append-mode commits write the per-field rollup rows driver-side
+    # (one pyarrow file, zero jobs — see storage.append_driver_side);
+    # the fresh build and any fallback keep the Spark writer, which also
+    # establishes the table's canonical schema.
+    if mode == "append" and storage.append_driver_side(
+        "field_stats",
+        {
+            "segment_id": [
+                r["segment_id"] for f in meta.text_fields for r in seg_rows
+            ],
+            "field": [f for f in meta.text_fields for _ in seg_rows],
+            "doc_count": [
+                r["doc_count"] for f in meta.text_fields for r in seg_rows
+            ],
+            "total_tokens": [
+                r[f"tokens_{f}"] for f in meta.text_fields for r in seg_rows
+            ],
+            "docid_lo": [
+                r["docid_lo"] for f in meta.text_fields for r in seg_rows
+            ],
+            "docid_hi": [
+                r["docid_hi"] for f in meta.text_fields for r in seg_rows
+            ],
+        },
+    ):
+        return seg_local, seg_rows
     rows = []
     for f in meta.text_fields:
         rows.append(
@@ -1070,7 +1108,29 @@ def _write_manifest(
     meta: IndexMeta,
     mode: str,
     status: str = "sealed",
+    seg_rows: Optional[list] = None,
 ) -> None:
+    # Append commits go driver-side (one pyarrow file, zero jobs) —
+    # still exactly ONE file, so the committer-v2 atomicity argument for
+    # the manifest publish point is unchanged.  ``sealed_at`` rides along
+    # for post-seal manifest layouts; pre-seal footers just ignore it.
+    if mode == "append" and seg_rows is not None:
+        n = len(seg_rows)
+        if storage.append_driver_side(
+            "manifest",
+            {
+                "generation": [int(meta.generation)] * n,
+                "segment_id": [r["segment_id"] for r in seg_rows],
+                "docid_lo": [r["docid_lo"] for r in seg_rows],
+                "docid_hi": [int(r["docid_hi"]) + 1 for r in seg_rows],
+                "doc_count": [r["doc_count"] for r in seg_rows],
+                "status": [status] * n,
+                "built_at": [float(time.time())] * n,
+                "superseded_at": [None] * n,
+                "sealed_at": [None] * n,
+            },
+        ):
+            return
     manifest = seg.select(
         F.lit(meta.generation).alias("generation"),
         "segment_id",

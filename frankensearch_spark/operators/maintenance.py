@@ -89,6 +89,13 @@ def _auto_upsert_segments(n_rows: int, parallelism: int, num_buckets: int) -> in
     by_skew = -(-int(n_rows) // TARGET_DOCS_PER_SEGMENT)
     return max(1, by_parallelism, by_skew)
 
+#: Tombstone batches at or under this many rows append as ONE pyarrow
+#: file written on the driver (storage.append_driver_side) instead of a
+#: scheduled Spark write — the interactive-delete / watch-mode shape.
+#: Collecting this many (docid, segment_id, generation) rows is ~1.5 MB;
+#: the Spark write it replaces is a fixed ~0.3-0.5 s job per micro-batch.
+DRIVER_TOMBSTONE_APPEND_MAX = 1 << 16
+
 #: Merge when a tier holds at least this many consecutive runs (config.rs:21).
 DEFAULT_MERGE_FANOUT = 8
 
@@ -130,6 +137,7 @@ class IndexMaintenance:
         generation: Optional[int] = None,
         include_unsealed: bool = False,
         refresh_open_state: bool = True,
+        resolved: Optional[DataFrame] = None,
     ) -> int:
         """Tombstone live docs matching ``ids`` (a doc_id frame) — fully
         distributed: identity resolution is a join against the docs table
@@ -143,6 +151,15 @@ class IndexMaintenance:
         in still-pending unsealed segments are tombstoned too (an
         upsert-over-pending-upsert must not leave two live copies after
         seal).
+
+        ``resolved`` (optional) short-circuits the docs-table scan: a
+        (doc_id, segment_id, docid) frame the CALLER already resolved
+        against the same live view (``include_unsealed`` must match how it
+        was built) and that covers every doc_id in ``ids``.  Upsert passes
+        its content-hash ``matched`` cache here so a watch-mode micro-batch
+        scans the docs table ONCE per commit instead of twice — at 10^9
+        docs that is the difference between a per-batch corpus scan and a
+        join against a batch-sized cached frame.
         """
         state = self.storage.generation_state()
         # Rollup fast path: an interactive delete (default generation,
@@ -162,15 +179,25 @@ class IndexMaintenance:
         )
         if generation is None:
             generation = state.current()
-        live = self.storage.live_segments(include_unsealed=include_unsealed)
-        docs = (
-            pin_segments(
-                self.storage.read("docs"), live,
-                self.storage.segment_pin_isin_max,
+        if resolved is not None:
+            # batch-sized caller cache, broadcast-joined: no corpus scan
+            docs = (
+                resolved.join(
+                    F.broadcast(ids.select("doc_id").distinct()),
+                    on="doc_id",
+                    how="leftsemi",
+                ).select("segment_id", "docid")
             )
-            .join(ids.select("doc_id").distinct(), on="doc_id", how="leftsemi")
-            .select("segment_id", "docid")
-        )
+        else:
+            live = self.storage.live_segments(include_unsealed=include_unsealed)
+            docs = (
+                pin_segments(
+                    self.storage.read("docs"), live,
+                    self.storage.segment_pin_isin_max,
+                )
+                .join(ids.select("doc_id").distinct(), on="doc_id", how="leftsemi")
+                .select("segment_id", "docid")
+            )
         if self.storage.table_exists("tombstones"):
             # dedup against rows ACTIVE at (or before) the target
             # generation only: a tombstone staged by a PENDING unsealed
@@ -206,13 +233,32 @@ class IndexMaintenance:
             F.lit(int(generation)).cast("long").alias("generation"),
         ).persist()
         try:
-            n = docs.count()  # stays distributed — no driver materialization
+            # ONE job for the watch-mode shape: limit(MAX+1).collect()
+            # either returns the complete set (≤ MAX rows — limit can
+            # only truncate, so a result under the cap IS the whole
+            # frame) ready for the zero-job driver-side append, or
+            # proves the set is big and the classic count + distributed
+            # write runs instead.  Nothing data-sized ever lands on the
+            # driver: the cap bounds the collect at ~1.5 MB.
+            head = docs.limit(DRIVER_TOMBSTONE_APPEND_MAX + 1).collect()
+            rows = head if len(head) <= DRIVER_TOMBSTONE_APPEND_MAX else None
+            n = len(head) if rows is not None else docs.count()
             if n:
-                # file count sized to the batch: interactive deletes stay
-                # single-file, bulk deletes write in parallel (the
-                # single-writer task was the round-3 scale bottleneck)
-                out = self.storage.sized_tombstone_frame(docs, n)
-                self.storage.write_table(out, "tombstones", "append")
+                written = rows is not None and self.storage.append_driver_side(
+                    "tombstones",
+                    {
+                        "docid": [r["docid"] for r in rows],
+                        "segment_id": [r["segment_id"] for r in rows],
+                        "generation": [r["generation"] for r in rows],
+                    },
+                )
+                if not written:
+                    # file count sized to the batch: interactive deletes
+                    # stay single-file, bulk deletes write in parallel
+                    # (the single-writer task was the round-3 scale
+                    # bottleneck)
+                    out = self.storage.sized_tombstone_frame(docs, n)
+                    self.storage.write_table(out, "tombstones", "append")
                 # upsert stages its tombstones mid-protocol (pre_publish):
                 # its own manifest append refreshes the open state right
                 # after, so skip the redundant rollup there
@@ -275,15 +321,37 @@ class IndexMaintenance:
         # tombstone the pending copy too, or seal() publishes duplicates
         live_segs = self.storage.live_segments(include_unsealed=True)
         changed = batch
+        matched: Optional[DataFrame] = None
         if live_segs and self.storage.table_exists("docs"):
             docs = pin_segments(
                 self.storage.read("docs"), live_segs,
                 self.storage.segment_pin_isin_max,
             )
             if "content_hash" in docs.columns:
-                identical = docs.select(
-                    "doc_id", F.col("content_hash").alias("_chash"), "docid"
+                # ONE corpus scan per commit: the live copies of THIS
+                # batch's doc_ids (a batch-sized frame, persisted) feed
+                # both the content-hash skip below and the tombstone
+                # staging (delete_frame resolved=...).  Before the fuse a
+                # watch-mode micro-batch scanned the docs table twice —
+                # the per-batch fixed cost that capped watch-mode
+                # updates/s.  Broadcasting the batch-ids side keeps the
+                # corpus side shuffle-free (upsert is the incremental
+                # path: batches are bounded, the corpus is not).
+                matched = (
+                    docs.select(
+                        "doc_id",
+                        F.col("content_hash").alias("_chash"),
+                        "docid",
+                        "segment_id",
+                    )
+                    .join(
+                        F.broadcast(batch.select("doc_id").distinct()),
+                        on="doc_id",
+                        how="leftsemi",
+                    )
+                    .persist()
                 )
+                identical = matched
                 if self.storage.table_exists("tombstones"):
                     identical = identical.join(
                         self.storage.read("tombstones").select("docid"),
@@ -291,7 +359,7 @@ class IndexMaintenance:
                         how="left_anti",
                     )
                 changed = batch.join(
-                    identical.select("doc_id", "_chash").distinct(),
+                    F.broadcast(identical.select("doc_id", "_chash").distinct()),
                     on=["doc_id", "_chash"],
                     how="left_anti",
                 )
@@ -327,12 +395,20 @@ class IndexMaintenance:
 
             def stage_tombstones():
                 # count (newly staged distinct docids) feeds the commit's
-                # incremental open-state publish (write_segment_tables)
+                # incremental open-state publish (write_segment_tables).
+                # `matched` was resolved against the SAME include_unsealed
+                # live view and covers every batch doc_id, so the staging
+                # join never rescans the docs table (resolved contract).
                 return self.delete_frame(
                     changed.select("doc_id"),
                     generation=gen_next,
                     include_unsealed=True,
                     refresh_open_state=False,
+                    resolved=(
+                        None
+                        if matched is None
+                        else matched.select("doc_id", "segment_id", "docid")
+                    ),
                 )
 
             segments = append_segment_batch(
@@ -364,6 +440,8 @@ class IndexMaintenance:
             return segments
         finally:
             changed.unpersist()
+            if matched is not None:
+                matched.unpersist()
 
     def seal(self) -> list[int]:
         """Commit previously unsealed segments for all readers.

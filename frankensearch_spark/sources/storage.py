@@ -394,6 +394,75 @@ class IndexStorage:
             writer = writer.partitionBy(*partition_by)
         writer.save(self.path(table))
 
+    def append_driver_side(self, table: str, columns: dict[str, list]) -> bool:
+        """Zero-job append of O(metadata) rows to an UNPARTITIONED table.
+
+        The per-commit metadata appends (manifest rows, per-segment
+        field_stats, an interactive delete's tombstones) are a handful of
+        rows, yet each Spark write schedules a job plus a commit protocol
+        — fixed latency that dominated the watch-mode micro-batch commit.
+        This writes ONE parquet file with pyarrow on the driver, casting
+        every column to the table's existing footer schema so
+        mixed-writer directories stay physically type-identical (Spark
+        resolves one schema per directory read; an int32/int64 drift
+        between files fails the vectorized scan).  Footer metadata is
+        stripped, same as :meth:`seal_driver_side` — Spark trusts an
+        embedded row-metadata blob over the physical schema.
+
+        ``columns`` may carry extra keys (e.g. ``sealed_at`` for a
+        pre-seal manifest layout that doesn't have the column yet); a key
+        MISSING for a field the footer requires aborts.  Returns False —
+        nothing written — on any surprise (no table dir yet, unknown
+        field, cast failure); the caller falls back to the Spark writer.
+
+        Crash-safe: written under a dot-prefixed temp name (invisible to
+        Spark's file listing) and renamed into place — the same
+        atomic-visibility contract as a committed Spark task file.
+        """
+        root = self.path(table)
+        if self.format != "parquet" or not os.path.isdir(root):
+            return False
+        tmp = None
+        try:
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            sample = next(
+                (
+                    f
+                    for f in sorted(os.listdir(root))
+                    if f.endswith(".parquet")
+                ),
+                None,
+            )
+            if sample is None:
+                return False
+            target = pq.read_schema(
+                os.path.join(root, sample)
+            ).remove_metadata()
+            n = max((len(v) for v in columns.values()), default=0)
+            if n == 0 or any(len(v) != n for v in columns.values()):
+                return False
+            arrays = [
+                pa.array(columns[name]).cast(target.field(name).type)
+                for name in target.names
+            ]
+            tbl = pa.Table.from_arrays(arrays, schema=target)
+            name = f"part-{uuid.uuid4()}-driver.parquet"
+            tmp = os.path.join(root, "." + name + ".tmp")
+            pq.write_table(tbl, tmp)
+            os.rename(tmp, os.path.join(root, name))
+            return True
+        except Exception:
+            if tmp is not None:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+            return False
+
     def table_exists(self, table: str) -> bool:
         if os.path.exists(self.path(table)):
             return True
