@@ -303,6 +303,12 @@ class IndexMaintenance:
 
         Everything is joins; no doc_id list ever lands on the driver.
 
+        Contract: upsert is the INCREMENTAL path — batches up to catch-up
+        size (~10^5-10^6 rows), where broadcasting the batch's doc_id set
+        against the corpus (the one-scan identity resolution below) costs
+        MBs.  Corpus-scale loads belong to the bulk path
+        (``operators/bulk.py``), which never broadcasts the input side.
+
         ``seal=False`` publishes the batch's manifest rows with
         ``status='unsealed'`` and does NOT advance the committed
         generation: default readers keep seeing the previous generation
