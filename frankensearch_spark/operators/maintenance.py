@@ -309,6 +309,16 @@ class IndexMaintenance:
         MBs.  Corpus-scale loads belong to the bulk path
         (``operators/bulk.py``), which never broadcasts the input side.
 
+        Scale shape of the identity probe: ONE column-pruned scan of the
+        docs table per commit (doc_id, content_hash, docid, segment_id —
+        no text bytes), shuffle-free via the broadcast semi-join.  That
+        is the honest Spark analogue of the reference's per-segment
+        IDHASH probe (index.rs:10231): at 10^9+ docs the scan is the
+        per-commit floor, and a deployment that needs sub-scan identity
+        lookups should bucket the docs table by doc_id so the semi-join
+        prunes to matching buckets — a layout choice, not an engine
+        change.
+
         ``seal=False`` publishes the batch's manifest rows with
         ``status='unsealed'`` and does NOT advance the committed
         generation: default readers keep seeing the previous generation
