@@ -249,15 +249,19 @@ def append_segment_batch(
             pre_publish=pre_publish,
             new_segments=list(range(segment_base, segment_base + num_segments)),
             manifest_status=manifest_status,
-            # Small batches: the row count is already known from the
-            # docid prefix-sum job, so skip the dedicated slim.count()
-            # materialization — the table writers materialize the slim
-            # cache concurrently instead (a partition computed twice
-            # during the race costs a ~ms-scale re-tokenize at this size;
-            # the serialized count job it replaces cost ~0.5 s per
-            # watch-mode micro-batch).  Big batches keep the count: there
-            # a duplicated tokenize pass is real work.
-            n_docs=n_docs if n_docs <= STATS_FROM_SLIM_MAX_DOCS else None,
+            # n_docs deliberately NOT passed even though the prefix-sum
+            # job measured it: write_segment_tables' slim.count() is the
+            # SINGLE-FLIGHT materialization of the tokenize cache, and
+            # skipping it (tried — it saved ~0.5 s per watch-mode
+            # micro-batch) lets the table writers race to first-
+            # materialize slim concurrently.  A losing racer recomputes
+            # the partition through the range exchange, whose boundary
+            # SAMPLE is nondeterministic — observed as the docs pass and
+            # the postings pass assigning DIFFERENT docids to the same
+            # row (hydration then misses; tests/test_behavior caught it
+            # at ~40% repro).  Every cache feeding the docid-bearing
+            # Arrow passes must be fully materialized by exactly one job
+            # before any concurrent consumer touches it.
         )
     finally:
         slim.unpersist()

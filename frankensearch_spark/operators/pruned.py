@@ -46,6 +46,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.contract import POSTINGS_PER_BLOCK
 from ..plans.eval import EvalPlan
 from ..plans.localrel import values_frame
 
@@ -337,6 +338,7 @@ class PrunedExecutor:
         if blocks is None:
             return None
         blocks = blocks.persist()
+        committed = False
         try:
             # ONE small job yields BOTH the seed sample and every leaf's
             # ceiling σ: the window is ub-descending per leaf, so the
@@ -489,14 +491,26 @@ class PrunedExecutor:
             scored = engine._score_leaf_rows_for_docids(
                 live,
                 candidates,
-                cand_bound=surviving_blocks * 128,
+                cand_bound=surviving_blocks * POSTINGS_PER_BLOCK,
                 block_meta=blocks,
             )
             if scored is None:
                 return None
+            # The returned plan still references the cached metadata frame
+            # (block_meta covering pass, and the un-collected `surviving`
+            # branch): unpersisting here would evict the cache BEFORE the
+            # caller's action runs, recomputing the postings metadata scan
+            # at action time — exactly the duplicate scan block_meta
+            # exists to avoid.  Hand the cache to the engine; the search
+            # action path unpersists it after materialization.  (Two
+            # concurrent pruned searches on one engine could release each
+            # other's cache early — a recompute, never a wrong answer.)
+            committed = True
+            engine._pruned_block_cache = blocks
             return engine._combine(plan, scored)
         finally:
-            blocks.unpersist()
+            if not committed:
+                blocks.unpersist()
 
 
 def engine_bucket(term: str, num_buckets: int) -> int:

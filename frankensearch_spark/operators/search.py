@@ -614,14 +614,21 @@ class SearchEngine:
         )
         if single_leaf or pivot_bound <= SMALL_PIVOT_MAX_ROWS:
             scored = self._without_aqe(scored)
-        if exact_count:
-            winners, total = self._topk_with_count(scored, limit + offset)
-        else:
-            winners = (
-                scored.orderBy(F.desc("score"), F.asc("docid"))
-                .limit(limit + offset)
-                .toPandas()
-            )
+        try:
+            if exact_count:
+                winners, total = self._topk_with_count(scored, limit + offset)
+            else:
+                winners = (
+                    scored.orderBy(F.desc("score"), F.asc("docid"))
+                    .limit(limit + offset)
+                    .toPandas()
+                )
+        finally:
+            # a committed pruned plan parks its block-metadata cache here
+            # so it survives until the action above (pruned.py::execute)
+            cache = self.__dict__.pop("_pruned_block_cache", None)
+            if cache is not None:
+                cache.unpersist()
         winners = winners.iloc[offset:].reset_index(drop=True)
         hits = self._materialize(winners, hydrate)
         return SearchResult(hits=hits, total_count=total, fuel_units=charged)

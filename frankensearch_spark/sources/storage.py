@@ -1352,12 +1352,7 @@ class IndexStorage:
             )
         except Exception:
             return None
-        prev = root + ".prev"
-        shutil.rmtree(prev, ignore_errors=True)
-        if os.path.exists(root):
-            os.replace(root, prev)
-        os.replace(tmp, root)
-        shutil.rmtree(prev, ignore_errors=True)
+        self._swap_into_place(tmp, root)
         # incremental rollup: flip the stored rows the same way and fold
         # in the recorded per-batch activation deltas
         new_rows = [
@@ -1560,12 +1555,38 @@ class IndexStorage:
             # per-directory, and readers listing mid-write only ever see
             # the old directory
             df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        final = self.path(table)
+        self._swap_into_place(tmp, self.path(table))
+
+    def _swap_into_place(self, tmp: str, final: str) -> None:
+        """Two-slot directory swap (``final → .prev; tmp → final``) with a
+        bounded retry against concurrent reader self-healing.
+
+        The swap leaves ``final`` absent for a moment, and a concurrent
+        reader's :meth:`_recover_interrupted_swap` cannot distinguish that
+        live window from a crashed one: it may restore ``.prev`` back to
+        ``final``, making this writer's second rename fail (rename onto a
+        non-empty directory).  Under the single-writer contract that
+        restoration is the ONLY way ``final`` reappears mid-swap, so
+        re-running the swap converges — the reader observes either the
+        old or the new directory at every step, never neither.  A
+        recovery racing the post-swap cleanup instead targets the NEW
+        non-empty ``final`` and fails its rename, which the recovery
+        already treats as "nothing to do".
+        """
+        import shutil
+
         prev = final + ".prev"
         shutil.rmtree(prev, ignore_errors=True)
-        if os.path.exists(final):
-            os.replace(final, prev)
-        os.replace(tmp, final)
+        for attempt in range(5):
+            if os.path.exists(final):
+                os.replace(final, prev)
+            try:
+                os.replace(tmp, final)
+            except OSError:
+                if attempt == 4:
+                    raise
+                continue
+            break
         shutil.rmtree(prev, ignore_errors=True)
 
     def write_meta(self, meta: IndexMeta) -> None:

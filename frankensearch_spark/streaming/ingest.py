@@ -27,10 +27,37 @@ from __future__ import annotations
 import time
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index import LexicalIndex
+
+
+def _commit_session(index: LexicalIndex) -> Optional[SparkSession]:
+    """Cached clone of the index's session sized for micro-batch commits.
+
+    ``cloneSession()`` shares the SparkContext and caches but copies the
+    session state, so the watch-mode conf (AQE off, small shuffle
+    parallelism) cannot leak into concurrent queries planning on the
+    primary session — the same isolation discipline as the engine's
+    no-AQE query session (search.py::_noaqe_session; the round-3
+    session-wide conf flip leaked into other threads' planning windows).
+    Returns None when the classic internals are unavailable; the caller
+    falls back to scoped save/restore on the primary session.
+    """
+    cached = getattr(index, "_stream_commit_session", None)
+    if cached is not None:
+        return cached or None
+    try:
+        jclone = index.spark._jsparkSession.cloneSession()
+        sess = SparkSession(index.spark.sparkContext, jclone)
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        sess.conf.set("spark.sql.shuffle.partitions", "8")
+        index._stream_commit_session = sess
+        return sess
+    except Exception:
+        index._stream_commit_session = False
+        return None
 
 
 def transcript_batch_to_docs(batch: DataFrame) -> DataFrame:
@@ -77,6 +104,18 @@ class SealCadence:
         ):
             self.seal()
 
+    def note_empty_batch(self) -> None:
+        """Evaluate the TIME trigger even when a batch staged nothing.
+
+        A continuous stream can deliver an arbitrarily long run of
+        no-change batches (at-least-once redelivery, unchanged re-saves
+        skipped by the content-hash witness); without this check the
+        debounce window would never elapse and an earlier staged batch
+        would stay invisible to default readers indefinitely.
+        """
+        if self.pending and (time.time() - self.last_seal) >= self.every_sec:
+            self.seal()
+
     def seal(self) -> None:
         if self.pending:
             self.index.maintenance.seal()
@@ -120,14 +159,26 @@ def upsert_batch(
     # sizes (measured 3.2s/batch at 16 shuffle partitions vs 5.0s at 64,
     # same host).  Catch-up-sized commits (direct upsert calls) keep the
     # session settings for AQE's skew handling and full parallelism.
-    # BOTH sessions: under Structured Streaming, `batch.sparkSession` is
-    # the stream-scoped CLONE (frames derived from the batch plan under
-    # it), while every maintenance-side frame (docs/tombstone reads, the
-    # posting exchange) plans under the index's own session — overriding
-    # only the clone left the commit's heavy stages at corpus-sized
-    # parallelism with AQE sub-jobs (measured +0.4 s/batch vs the same
-    # body on a static frame).
-    sessions = {batch.sparkSession, index.spark}
+    # TWO sessions plan this commit: `batch.sparkSession` is the
+    # stream-scoped CLONE (frames derived from the batch plan AND action
+    # under it), while maintenance-side frames (docs/tombstone reads, the
+    # posting exchange) plan under whichever session the maintenance
+    # facade holds — overriding only the stream clone left the commit's
+    # heavy stages at corpus-sized parallelism with AQE sub-jobs
+    # (measured +0.4 s/batch vs the same body on a static frame).
+    # The maintenance side gets a dedicated cached clone so the watch
+    # conf never touches the index's primary session (concurrent queries
+    # keep AQE + full parallelism); the stream clone is scoped to this
+    # stream's micro-batches, so mutating it (with restore) is safe.
+    from ..operators.maintenance import IndexMaintenance
+
+    commit_sess = _commit_session(index)
+    sessions = {batch.sparkSession}
+    if commit_sess is not None:
+        maint = IndexMaintenance(commit_sess, index.index_dir)
+    else:
+        maint = index.maintenance
+        sessions.add(index.spark)
     aqe_key = "spark.sql.adaptive.enabled"
     shuf_key = "spark.sql.shuffle.partitions"
     prev = [
@@ -139,14 +190,14 @@ def upsert_batch(
         s.conf.set(shuf_key, "8")
     try:
         if cadence is None:
-            if index.maintenance.upsert(docs, sort_cols=("conv_id", "turn_idx")):
+            if maint.upsert(docs, sort_cols=("conv_id", "turn_idx")):
                 index.reopen()
             return
-        if index.maintenance.upsert(
-            docs, sort_cols=("conv_id", "turn_idx"), seal=False
-        ):
+        if maint.upsert(docs, sort_cols=("conv_id", "turn_idx"), seal=False):
             index.reopen()
             cadence.note_batch()
+        else:
+            cadence.note_empty_batch()
     finally:
         for s, p_aqe, p_shuf in prev:
             s.conf.set(aqe_key, p_aqe)
