@@ -65,6 +65,24 @@ from ..sources.storage import IndexMeta, IndexStorage
 #: per-(segment, term) shuffle-group state — the Q1 skew discipline).
 TARGET_DOCS_PER_SEGMENT = 1 << 18
 
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Eagerly free a ``localCheckpoint``'s storage blocks.
+
+    ``DataFrame.unpersist`` is a no-op for checkpointed frames: their
+    blocks hang off the internal ``LogicalRDD`` and are otherwise
+    reclaimed only when the driver's ContextCleaner notices the RDD is
+    unreachable (periodic GC — far too lazy for a long-running stream
+    that stages one checkpoint per micro-batch on RAM-backed local
+    dirs).  Rides the classic-mode plan internals, same seam discipline
+    as ``search.py::_without_aqe``; on any surprise the blocks simply
+    revert to the ContextCleaner path (a leak-until-GC, never an error).
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
 #: Below this many docs the per-segment stats rollup aggregates the slim
 #: cache directly (posting arrays are tiny; doclens write + stats rollup
 #: parallelize); above it, re-reading the doclens parquet prunes to the
@@ -228,7 +246,7 @@ def append_segment_batch(
     from pyspark import StorageLevel
 
     if n_docs == 0:
-        ranged.unpersist()
+        release_checkpoint(ranged)
         spark.conf.set(coalesce_key, prev_coalesce)
         return []
     # DISK_ONLY: the slim tokenized frame (ids + postings, NO text or
@@ -249,23 +267,24 @@ def append_segment_batch(
             pre_publish=pre_publish,
             new_segments=list(range(segment_base, segment_base + num_segments)),
             manifest_status=manifest_status,
-            # n_docs deliberately NOT passed even though the prefix-sum
-            # job measured it: write_segment_tables' slim.count() is the
-            # SINGLE-FLIGHT materialization of the tokenize cache, and
-            # skipping it (tried — it saved ~0.5 s per watch-mode
-            # micro-batch) lets the table writers race to first-
-            # materialize slim concurrently.  A losing racer recomputes
-            # the partition through the range exchange, whose boundary
-            # SAMPLE is nondeterministic — observed as the docs pass and
-            # the postings pass assigning DIFFERENT docids to the same
-            # row (hydration then misses; tests/test_behavior caught it
-            # at ~40% repro).  Every cache feeding the docid-bearing
-            # Arrow passes must be fully materialized by exactly one job
-            # before any concurrent consumer touches it.
+            # Small batches skip write_segment_tables' slim.count()
+            # barrier (saves ~0.5 s per watch-mode micro-batch by letting
+            # the table writers first-materialize the slim cache
+            # concurrently).  Safe ONLY because `ranged` is a
+            # materialized localCheckpoint: a racing writer's recompute
+            # of a slim partition re-reads checkpoint blocks
+            # bit-identically — it can no longer re-execute the range
+            # exchange, whose nondeterministic boundary sample once let
+            # the docs and postings passes assign DIFFERENT docids to
+            # the same row (~40% repro in tests/test_behavior before the
+            # checkpoint; a plain persist's cache lookup does not close
+            # that recompute path).  Big batches keep the count barrier:
+            # there a duplicated tokenize pass is real work.
+            n_docs=n_docs if n_docs <= STATS_FROM_SLIM_MAX_DOCS else None,
         )
     finally:
         slim.unpersist()
-        ranged.unpersist()
+        release_checkpoint(ranged)
         spark.conf.set(coalesce_key, prev_coalesce)
     return list(range(segment_base, segment_base + num_segments))
 
@@ -490,17 +509,25 @@ def _assign_docids_and_tokenize(
         .repartitionByRange(num_parts, *sort_cols)
         .sortWithinPartitions(*sort_cols)
     )
-    # Persist so the count job and the docid job see identical partitions
-    # (range boundaries are sampled; the persisted partitioning is the one
-    # source of truth — this is how RDD.zipWithIndex pins its bases too).
-    # DISK_ONLY, like the slim cache: the columnar in-memory cache holds
-    # text as heap objects whose GC churn starves the posting build's
-    # execution memory (measured 1.5x slower end-to-end with a heap big
-    # enough to keep it resident); serialized batches on local disk
-    # (tmpfs here, NVMe on a cluster) re-read faster than they GC.
+    # Local-checkpoint (NOT plain persist) so every docid-bearing pass
+    # sees identical partitions: range boundaries are SAMPLED per
+    # exchange execution, so any recompute path through the exchange can
+    # place the same row in a different partition — two passes would
+    # then assign different docids to one row (observed: a cache race
+    # let the docs and postings passes diverge, ~40% repro).  The
+    # checkpoint truncates lineage after the count job below
+    # materializes it: downstream plans scan the materialized RDD
+    # directly (no cache lookup, no exchange), so a recompute is either
+    # a bit-identical block read or a loud block-lost failure — never a
+    # silent re-sample.  DISK_ONLY, like the slim cache: the columnar
+    # in-memory cache holds text as heap objects whose GC churn starves
+    # the posting build's execution memory (measured 1.5x slower
+    # end-to-end with a heap big enough to keep it resident);
+    # serialized batches on local disk (tmpfs here, NVMe on a cluster)
+    # re-read faster than they GC.
     from pyspark import StorageLevel as _SL
 
-    ranged.persist(_SL.DISK_ONLY)
+    ranged = ranged.localCheckpoint(eager=False, storageLevel=_SL.DISK_ONLY)
     counts = (
         ranged.groupBy(F.spark_partition_id().alias("pid"))
         .count()
@@ -515,7 +542,7 @@ def _assign_docids_and_tokenize(
             # partitioning can host: re-range with the resolved count
             # (rare — pays the classic extra pass only where it's cheap
             # relative to the batch itself)
-            ranged.unpersist()
+            release_checkpoint(ranged)
             return _assign_docids_and_tokenize(
                 spark, df, meta, sort_cols, num_segments,
                 docid_base=docid_base, segment_base=segment_base,
