@@ -502,12 +502,21 @@ class PrunedExecutor:
             # caller's action runs, recomputing the postings metadata scan
             # at action time — exactly the duplicate scan block_meta
             # exists to avoid.  Hand the cache to the engine; the search
-            # action path unpersists it after materialization.  (Two
-            # concurrent pruned searches on one engine could release each
-            # other's cache early — a recompute, never a wrong answer.)
+            # action path unpersists it after materialization.  Combine
+            # FIRST — only a fully-built plan commits ownership (an
+            # exception in _combine must leave the finally to release the
+            # cache, not orphan it).  Park-and-swap: if a concurrent
+            # pruned search already parked a cache, release the old one
+            # here rather than overwriting it (the other search's action
+            # then recomputes its metadata scan — a recompute, never a
+            # wrong answer, and never a leak).
+            combined = engine._combine(plan, scored)
             committed = True
+            prev = engine.__dict__.pop("_pruned_block_cache", None)
+            if prev is not None:
+                prev.unpersist()
             engine._pruned_block_cache = blocks
-            return engine._combine(plan, scored)
+            return combined
         finally:
             if not committed:
                 blocks.unpersist()

@@ -24,6 +24,7 @@ cadence seal publishes everything exactly once.
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Optional
 
@@ -31,6 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index import LexicalIndex
+
+#: serializes clone creation: two streams sinking into the same index
+#: must not both cloneSession() on their first batch (the loser's clone —
+#: JVM session state included — would be retained but never used)
+_COMMIT_SESSION_LOCK = threading.Lock()
 
 
 def _commit_session(index: LexicalIndex) -> Optional[SparkSession]:
@@ -48,16 +54,41 @@ def _commit_session(index: LexicalIndex) -> Optional[SparkSession]:
     cached = getattr(index, "_stream_commit_session", None)
     if cached is not None:
         return cached or None
-    try:
-        jclone = index.spark._jsparkSession.cloneSession()
-        sess = SparkSession(index.spark.sparkContext, jclone)
-        sess.conf.set("spark.sql.adaptive.enabled", "false")
-        sess.conf.set("spark.sql.shuffle.partitions", "8")
-        index._stream_commit_session = sess
-        return sess
-    except Exception:
-        index._stream_commit_session = False
-        return None
+    with _COMMIT_SESSION_LOCK:
+        cached = getattr(index, "_stream_commit_session", None)
+        if cached is not None:
+            return cached or None
+        try:
+            jclone = index.spark._jsparkSession.cloneSession()
+            sess = SparkSession(index.spark.sparkContext, jclone)
+            sess.conf.set("spark.sql.adaptive.enabled", "false")
+            sess.conf.set("spark.sql.shuffle.partitions", "8")
+            index._stream_commit_session = sess
+            return sess
+        except Exception:
+            index._stream_commit_session = False
+            return None
+
+
+def _commit_maintenance(index: LexicalIndex):
+    """Maintenance facade planning under the commit clone (primary-session
+    fallback when the clone seam is unavailable).
+
+    Used by BOTH the per-batch upsert and the cadence seal: the seal's
+    Spark fallback path (fingerprint-invalid rollup → manifest collect +
+    atomic_rewrite + full open-state job) would otherwise plan under the
+    index's primary session with AQE on and corpus-sized shuffle
+    partitions — the exact per-batch fixed cost the clone exists to
+    remove.  Fresh instance per call, same contract as
+    ``LexicalIndex.maintenance`` (always sees the current manifest
+    generation).
+    """
+    sess = _commit_session(index)
+    if sess is None:
+        return index.maintenance
+    from ..operators.maintenance import IndexMaintenance
+
+    return IndexMaintenance(sess, index.index_dir)
 
 
 def transcript_batch_to_docs(batch: DataFrame) -> DataFrame:
@@ -118,7 +149,7 @@ class SealCadence:
 
     def seal(self) -> None:
         if self.pending:
-            self.index.maintenance.seal()
+            _commit_maintenance(self.index).seal()
             self.index.reopen()
             self.pending = 0
         self.last_seal = time.time()
@@ -170,14 +201,11 @@ def upsert_batch(
     # conf never touches the index's primary session (concurrent queries
     # keep AQE + full parallelism); the stream clone is scoped to this
     # stream's micro-batches, so mutating it (with restore) is safe.
-    from ..operators.maintenance import IndexMaintenance
-
-    commit_sess = _commit_session(index)
+    maint = _commit_maintenance(index)
     sessions = {batch.sparkSession}
-    if commit_sess is not None:
-        maint = IndexMaintenance(commit_sess, index.index_dir)
-    else:
-        maint = index.maintenance
+    if maint.spark is index.spark:
+        # clone seam unavailable: fall back to scoped save/restore on the
+        # primary session (the round-4 behavior)
         sessions.add(index.spark)
     aqe_key = "spark.sql.adaptive.enabled"
     shuf_key = "spark.sql.shuffle.partitions"

@@ -87,7 +87,7 @@ try:
     seg_local, _seg_rows = B._write_stats(storage, meta, "overwrite", list(range(16)))
     B._write_manifest(seg_local, storage, meta, "overwrite")
     print(f"stats+manifest: {time.time()-t0:.2f}s")
-    slim.unpersist(); ranged.unpersist()
+    slim.unpersist(); B.release_checkpoint(ranged)
     print(f"TOTAL: {time.time()-t_all:.2f}s")
 finally:
     shutil.rmtree(work, ignore_errors=True)

@@ -33,8 +33,13 @@ def _storage_ids(spark):
 
 
 def test_docid_passes_scan_the_checkpoint_not_an_exchange(spark):
+    # distinct token count per doc ties slim rows back to their identity:
+    # doc d{i} has i+1 tokens, so len_content is a per-doc witness
     df = spark.createDataFrame(
-        [{"doc_id": f"d{i}", "content": f"alpha bravo w{i}"} for i in range(64)]
+        [
+            {"doc_id": f"d{i:02d}", "content": " ".join(["tok"] * (i + 1))}
+            for i in range(64)
+        ]
     )
     ranged, docs_frame, slim, n_docs, _ = _assign_docids_and_tokenize(
         spark, df, _make_meta(), sort_cols=["doc_id"], num_segments=2
@@ -48,16 +53,26 @@ def test_docid_passes_scan_the_checkpoint_not_an_exchange(spark):
                 f"{name} pass re-plans through an exchange — a recompute could "
                 f"re-sample range boundaries and diverge docids"
             )
-        # both passes must be able to run concurrently and agree on docids
-        a = {r["doc_id"]: r["docid"] for r in docs_frame.select("doc_id", "docid").collect()}
-        b = dict(
-            zip(
-                [r["docid"] for r in slim.select("docid").orderBy("docid").collect()],
-                sorted(a.values()),
+        # PER-ROW docid agreement across the two passes (a cross-pass
+        # permutation — the divergence class the checkpoint prevents —
+        # must fail, so compare identities, not docid sets): the docs
+        # pass maps doc_id -> docid, slim maps docid -> token count, and
+        # doc d{i} has exactly i+1 tokens.
+        by_doc = {
+            r["doc_id"]: r["docid"]
+            for r in docs_frame.select("doc_id", "docid").collect()
+        }
+        by_len = {
+            r["docid"]: r["len_content"]
+            for r in slim.select("docid", "len_content").collect()
+        }
+        assert sorted(by_doc.values()) == list(range(64))
+        for i in range(64):
+            docid = by_doc[f"d{i:02d}"]
+            assert by_len[docid] == i + 1, (
+                f"doc d{i:02d}: docs pass assigned docid {docid} but slim "
+                f"holds a {by_len[docid]}-token doc there (expected {i + 1})"
             )
-        )
-        assert sorted(a.values()) == list(range(64))
-        assert all(k == v for k, v in b.items())
     finally:
         release_checkpoint(ranged)
 
