@@ -91,12 +91,9 @@ def encode_entries_expr(packed: str = "packed") -> Column:
 def reencode_absolute_entries_expr() -> Column:
     """In-place migration of already-blocked ABSOLUTE entries to the gap
     layout (entries are docid-sorted within their block) — the
-    ``backfill_delta_entries`` rewrite, no re-explode needed."""
-    return F.expr(
-        "transform(entries, (e, i) -> struct("
-        "int(e.docid - element_at(entries, greatest(i, 1)).docid) as d, "
-        "e.freq as freq, e.fnid as fnid))"
-    )
+    ``backfill_delta_entries`` rewrite, no re-explode needed.  Same gap
+    formula as the build path by construction (one template)."""
+    return encode_entries_expr("entries")
 
 
 def with_decoded_docids(

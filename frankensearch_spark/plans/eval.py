@@ -128,6 +128,15 @@ def compile_query(tree: q.Query) -> EvalPlan:
             for clause in node.clauses:
                 child = walk(clause.query)
                 if child is None:
+                    # the child level matches nothing (pure-negative or
+                    # empty). Its effect depends on the occur: a MUST of
+                    # match-nothing zeroes the whole conjunction (e.g.
+                    # '+(-b) a' must return 0 hits, not degrade to 'a');
+                    # a SHOULD disjunct of match-nothing contributes
+                    # nothing; a MUST_NOT of match-nothing excludes
+                    # nothing — the latter two simply drop.
+                    if clause.occur is q.Occur.MUST:
+                        return None
                     continue
                 if clause.occur is q.Occur.MUST:
                     must.append(child)

@@ -152,12 +152,21 @@ def estimate_fuel(
                 )
                 if total is not None:
                     per_term_blocks = min(per_term_blocks, _blocks(total) + limit)
-                units += limit + per_term_blocks + seg
+                # limit * seg mirrors the exact branch's per-term segment
+                # charge so the dominance invariant survives the rounding
+                # term below
+                units += limit + per_term_blocks + limit * seg + seg
                 exact = False
             else:
                 units += len(expansion) + seg
                 for _term, df in expansion:
-                    units += _blocks(int(df))
+                    # blocks(df) + seg per expanded term, EXACTLY like the
+                    # term-leaf path: per-segment block residency rounds up
+                    # separately in every segment (Σ_s ceil(df_s/128) ≤
+                    # ceil(df/128) + S - 1), so a global-df-only charge
+                    # under-counts the reference's runtime posting-block
+                    # charge on multi-segment snapshots
+                    units += _blocks(int(df)) + seg
         else:
             # range/set/all/keyword leaves scan the docs table: charge the
             # segment transitions (their pruning is columnar, not postings)

@@ -153,3 +153,55 @@ def test_count_agrees_with_matches(built, direct_cases):
         assert oracle.count(tree) == n, cid
         res = index.search(tree, limit=1, exact_count=True)
         assert res.total_count == n, cid
+
+
+def test_must_of_pure_negative_level_matches_nothing(built):
+    """A MUST clause whose child is a pure-negative boolean zeroes the
+    whole conjunction (the nested analogue of the mustnot-only-empty
+    contract case): '+(-excluded) text' must return 0 hits, not degrade
+    to 'text'.  Both the engine and the brute-force oracle share
+    compile_query, so this pins the shared lowering, and the default
+    parser really produces this shape for '+(-x) y'."""
+    tree = q.Boolean(
+        clauses=(
+            q.BooleanClause(
+                occur=q.Occur.MUST,
+                query=q.Boolean(
+                    clauses=(
+                        q.BooleanClause(
+                            occur=q.Occur.MUST_NOT,
+                            query=q.Term(fields=CONTENT, text="excluded"),
+                        ),
+                    )
+                ),
+            ),
+            q.BooleanClause(
+                occur=q.Occur.SHOULD, query=q.Term(fields=CONTENT, text="text")
+            ),
+        )
+    )
+    index, oracle = built
+    assert index.search(tree, limit=len(DOCS)).hits.empty
+    assert oracle.search(tree, limit=len(DOCS)) == []
+    # ...while a SHOULD disjunct of a pure-negative level just drops
+    # (contributes nothing) and a MUST_NOT of one excludes nothing.
+    tree2 = q.Boolean(
+        clauses=(
+            q.BooleanClause(
+                occur=q.Occur.SHOULD,
+                query=q.Boolean(
+                    clauses=(
+                        q.BooleanClause(
+                            occur=q.Occur.MUST_NOT,
+                            query=q.Term(fields=CONTENT, text="excluded"),
+                        ),
+                    )
+                ),
+            ),
+            q.BooleanClause(
+                occur=q.Occur.SHOULD, query=q.Term(fields=CONTENT, text="alone")
+            ),
+        )
+    )
+    got = list(index.search(tree2, limit=len(DOCS)).hits["doc_id"])
+    assert set(got) == {"d04", "d05"}

@@ -82,8 +82,10 @@ def test_glob_charges_expansion_terms_and_blocks():
         df_of=lambda l: None,
         glob_expansion=lambda l: [("w1", 128), ("w2", 300)],
     )
-    # 2 dictionary terms + 2 segments + blocks(128)=1 + blocks(300)=3
-    assert (units, exact) == (2 + 2 + 1 + 3, True)
+    # 2 dictionary terms + 2 leaf segments + per-term (blocks + segments):
+    # (blocks(128)=1 + 2) + (blocks(300)=3 + 2) — per-term +seg matches the
+    # term-leaf path (per-segment block residency rounds up independently)
+    assert (units, exact) == (2 + 2 + (1 + 2) + (3 + 2), True)
 
 
 def test_docs_scan_leaves_charge_segment_transitions_only():
