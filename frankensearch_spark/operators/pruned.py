@@ -40,6 +40,7 @@ shuffle is O(k + essential postings) instead of O(total postings).
 
 from __future__ import annotations
 
+import threading
 from typing import Optional
 
 import numpy as np
@@ -505,17 +506,22 @@ class PrunedExecutor:
             # action path unpersists it after materialization.  Combine
             # FIRST — only a fully-built plan commits ownership (an
             # exception in _combine must leave the finally to release the
-            # cache, not orphan it).  Park-and-swap: if a concurrent
-            # pruned search already parked a cache, release the old one
-            # here rather than overwriting it (the other search's action
-            # then recomputes its metadata scan — a recompute, never a
-            # wrong answer, and never a leak).
+            # cache, not orphan it).  Parked PER THREAD: execute() runs
+            # synchronously on the searching thread, so keying by thread
+            # id both routes the release to the right search under
+            # concurrency and lets a same-thread leftover (leaked by an
+            # exception between park and the search's try) be swapped
+            # out and released here rather than overwritten.
             combined = engine._combine(plan, scored)
             committed = True
-            prev = engine.__dict__.pop("_pruned_block_cache", None)
+            parked = engine.__dict__.setdefault("_pruned_block_cache", {})
+            prev = parked.pop(threading.get_ident(), None)
             if prev is not None:
-                prev.unpersist()
-            engine._pruned_block_cache = blocks
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass
+            parked[threading.get_ident()] = blocks
             return combined
         finally:
             if not committed:

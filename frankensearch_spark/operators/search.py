@@ -34,6 +34,7 @@ from typing import Iterator, Optional, Sequence
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
@@ -625,10 +626,20 @@ class SearchEngine:
                 )
         finally:
             # a committed pruned plan parks its block-metadata cache here
-            # so it survives until the action above (pruned.py::execute)
-            cache = self.__dict__.pop("_pruned_block_cache", None)
+            # (keyed by thread — pruned.py::execute runs synchronously on
+            # this search's thread, so popping our OWN key can never
+            # steal a cache a concurrent search on the same engine is
+            # still counting on) so it survives until the action above
+            cache = self.__dict__.get("_pruned_block_cache", {}).pop(
+                threading.get_ident(), None
+            )
             if cache is not None:
-                cache.unpersist()
+                try:
+                    cache.unpersist()
+                except Exception:
+                    # never let cache cleanup mask the action's real
+                    # exception (e.g. a dead SparkContext fails both)
+                    pass
         winners = winners.iloc[offset:].reset_index(drop=True)
         hits = self._materialize(winners, hydrate)
         return SearchResult(hits=hits, total_count=total, fuel_units=charged)

@@ -1584,7 +1584,21 @@ class IndexStorage:
                 os.replace(tmp, final)
             except OSError:
                 if attempt == 4:
+                    # a PERSISTENT failure (not the recovery race — e.g.
+                    # EBUSY on an overlay mount) must not leave the table
+                    # absent with its data parked at .prev: restore the
+                    # old directory before propagating, so the failed
+                    # rewrite degrades to "rewrite lost, old data intact"
+                    if not os.path.exists(final) and os.path.exists(prev):
+                        try:
+                            os.replace(prev, final)
+                        except OSError:
+                            pass
                     raise
+                # tiny backoff: a reader hot-polling table_exists() could
+                # otherwise re-restore .prev inside every microsecond-
+                # scale retry window and exhaust the budget
+                time.sleep(0.002 * (attempt + 1))
                 continue
             break
         shutil.rmtree(prev, ignore_errors=True)
@@ -1608,7 +1622,13 @@ class IndexStorage:
     def sealed_segments(self) -> set[int]:
         """Segments already committed by a previous (partial) build."""
         manifest_path = self.path("manifest")
-        if not os.path.exists(manifest_path):
+        # table_exists (not a bare os.path.exists): a crash between the
+        # two renames of a manifest rewrite leaves only manifest.prev on
+        # disk, and a resume that read that window as "no manifest" would
+        # re-ingest every previously sealed segment (duplicate docs).
+        # table_exists routes through _recover_interrupted_swap, which
+        # restores .prev exactly when the root is missing.
+        if not self.table_exists("manifest"):
             return set()
         rows = self.spark.read.parquet(manifest_path).where("status = 'sealed'")
         return {r["segment_id"] for r in rows.select("segment_id").collect()}
