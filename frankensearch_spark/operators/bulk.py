@@ -91,6 +91,20 @@ def bulk_load(
             if probs and dict(df.dtypes)[chunk_col] != "string"
             else _string_boundaries(df, chunk_col, n_batches)
         )
+        if len(boundaries) < n_batches - 1:
+            # fewer distinct cut points than batches (single-key input,
+            # empty df, empty quantiles): pad with a sentinel ABOVE every
+            # key so the surplus batches are provably empty — the seal
+            # loop indexes boundaries positionally and the docstring
+            # contract is exactly n_batches - 1 entries
+            mx = df.agg(F.max(chunk_col)).first()[0]
+            if dict(df.dtypes)[chunk_col] == "string":
+                pad = ("" if mx is None else str(mx)) + "\x00"
+            else:
+                pad = 0 if mx is None else mx + 1
+            boundaries = list(boundaries) + [pad] * (
+                n_batches - 1 - len(boundaries)
+            )
         # Pin every batch's docid/segment base in the plan: a replayed
         # batch MUST reuse its original bases (its crashed attempt may
         # already have appended manifest rows, so a high-watermark probe
@@ -129,6 +143,11 @@ def bulk_load(
                 "i64_fields": list(i64_fields),
                 "stored_fields": list(stored_fields),
                 "num_buckets": num_buckets,
+                # analyzers pinned too: a resume that omits (or changes)
+                # the kwarg must tokenize the remaining batches exactly
+                # like the sealed ones, or half the segments silently
+                # disagree with the query-time analyzer
+                "analyzers": dict(analyzers or {}),
             },
         }
         _save_plan(index_dir, plan)
@@ -138,7 +157,9 @@ def bulk_load(
         i64_fields=plan["meta"]["i64_fields"],
         stored_fields=plan["meta"]["stored_fields"],
         num_buckets=plan["meta"]["num_buckets"],
-        analyzers=dict(analyzers or {}),
+        # the PLAN's analyzers, not the caller's: resume identical to a
+        # single run (older plans without the key fall back to the kwarg)
+        analyzers=dict(plan["meta"].get("analyzers", analyzers or {})),
     )
     boundaries = plan["boundaries"]
     for entry in plan["batches"]:
@@ -151,7 +172,15 @@ def bulk_load(
         if lo is not None:
             batch = batch.where(F.col(plan["chunk_col"]) >= lo)
         if hi is not None:
-            batch = batch.where(F.col(plan["chunk_col"]) < hi)
+            cond = F.col(plan["chunk_col"]) < hi
+            if lo is None:
+                # NULL chunk keys: batch_expr's when(col >= b).otherwise(0)
+                # counted them into batch 0 (its docid base includes
+                # them), so batch 0's filter must admit them too — a bare
+                # `col < hi` silently drops every NULL-keyed row from the
+                # index while later batches' bases stay shifted
+                cond = cond | F.col(plan["chunk_col"]).isNull()
+            batch = batch.where(cond)
         # plan-pinned bases: idempotent under replay (dynamic partition
         # overwrite replaces exactly this batch's segment partitions; any
         # duplicated manifest/stats appends are read-side deduplicated)

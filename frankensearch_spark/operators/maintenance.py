@@ -138,6 +138,7 @@ class IndexMaintenance:
         include_unsealed: bool = False,
         refresh_open_state: bool = True,
         resolved: Optional[DataFrame] = None,
+        dedup_against_pending: bool = True,
     ) -> int:
         """Tombstone live docs matching ``ids`` (a doc_id frame) — fully
         distributed: identity resolution is a join against the docs table
@@ -190,6 +191,10 @@ class IndexMaintenance:
             )
         else:
             live = self.storage.live_segments(include_unsealed=include_unsealed)
+            if not live or not self.storage.table_exists("docs"):
+                # empty-build index (meta exists, no tables yet) or a
+                # concurrent first build mid-flight: nothing to delete
+                return 0
             docs = (
                 pin_segments(
                     self.storage.read("docs"), live,
@@ -205,10 +210,17 @@ class IndexMaintenance:
             # same docid (its staged generation may sit BELOW the current
             # sealed one — generations are allocated across pending
             # batches too), and neither must a row whose batch sealed at a
-            # later activation.  An upsert staging its own tombstones
-            # (include_unsealed=True) keeps deduping against pending rows:
-            # those docids die at seal regardless.  Duplicate docids
-            # across generations are fine — readers take distinct.
+            # later activation.  An UNSEALED upsert staging its own
+            # tombstones (include_unsealed=True, dedup_against_pending
+            # left True) keeps deduping against pending rows: both
+            # batches' docids die at seal regardless.  A SEALED upsert
+            # over a still-pending copy must NOT rely on a pending row
+            # (dedup_against_pending=False): its delete has to be active
+            # the moment its own manifest lands, or default readers —
+            # who suppress pending-generation tombstones — see the old
+            # committed copy AND the new one until some later seal().
+            # Duplicate docids across generations are fine — readers
+            # take distinct.
             prior = self.storage.read("tombstones")
             if "generation" in prior.columns:
                 prior = prior.where(F.col("generation") <= int(generation))
@@ -221,6 +233,12 @@ class IndexMaintenance:
                     if inactive:
                         prior = prior.where(
                             ~F.col("generation").isin(sorted(set(inactive)))
+                        )
+                elif not dedup_against_pending:
+                    pending = sorted(state.unsealed)
+                    if pending:
+                        prior = prior.where(
+                            ~F.col("generation").isin(pending)
                         )
             docs = docs.join(
                 prior.select("docid"),
@@ -425,6 +443,10 @@ class IndexMaintenance:
                         if matched is None
                         else matched.select("doc_id", "segment_id", "docid")
                     ),
+                    # a sealed commit's deletes activate with its own
+                    # manifest; relying on a pending batch's row would
+                    # leave the old committed copy visible until seal()
+                    dedup_against_pending=not seal,
                 )
 
             segments = append_segment_batch(
@@ -521,18 +543,39 @@ class IndexMaintenance:
 
     # ── compaction ────────────────────────────────────────────────────────
 
+    def _reader_active_tombstones(self, tombs: DataFrame) -> DataFrame:
+        """Restrict ``tombs`` to rows a default (committed-view) reader
+        applies: ``generation <= committed watermark`` and not staged by a
+        still-pending unsealed batch.
+
+        This is the fold-safety predicate: compaction must never
+        physically drop a docid no reader sees as deleted.  Beyond the
+        pending exclusion, the watermark bound shields ORPHAN rows — a
+        crashed upsert that staged its tombstones (pre_publish) but never
+        appended its manifest rows leaves rows at a generation above the
+        committed watermark that belongs to NO batch; readers exclude
+        them (``generation <= pinned``), so folding them would silently
+        delete visible docs until the batch's replay republishes.
+        """
+        if "generation" not in tombs.columns:
+            return tombs
+        state = self.storage.generation_state()
+        tombs = tombs.where(F.col("generation") <= int(state.current()))
+        pending = sorted(state.unsealed)
+        if pending:
+            tombs = tombs.where(~F.col("generation").isin(pending))
+        return tombs
+
     def tombstone_density(self) -> dict[int, float]:
         """Per-live-segment tombstone share (0.0 when no tombstones)."""
         live = self.storage.live_segments()
         if not self.storage.table_exists("tombstones"):
             return {s: 0.0 for s in live}
         tombs = self.storage.read("tombstones")
-        # pending (unsealed-batch) rows are not reclaimable space — the
-        # fold excludes them, so counting them would trigger rewrites
-        # that reclaim nothing
-        pending = sorted(self.storage.unsealed_generations())
-        if pending and "generation" in tombs.columns:
-            tombs = tombs.where(~F.col("generation").isin(pending))
+        # pending/orphan rows are not reclaimable space — the fold
+        # excludes them, so counting them would trigger rewrites that
+        # reclaim nothing (or, for orphans, drop live docs)
+        tombs = self._reader_active_tombstones(tombs)
         counts = {
             r["segment_id"]: r["n"]
             for r in tombs.groupBy("segment_id")
@@ -634,6 +677,11 @@ class IndexMaintenance:
         Query results are invariant (merged ≡ unmerged — plan Q1-OB3).
         """
         segment_ids = sorted(segment_ids)
+        # same guard as compact(): the output blocks embed term_df/term_cf,
+        # so merging into a legacy (pre-embedded-dictionary) postings
+        # directory would create the mixed-schema state assert_appendable
+        # documents as silently-wrong BM25 stats — backfill first
+        self.storage.assert_appendable()
         _, out_seg = self.storage.next_bases()
         mapping = {s: out_seg for s in segment_ids}
         # docs / doclens / postings: re-key to the output segment (the
@@ -800,9 +848,9 @@ class IndexMaintenance:
         """
         if orphan_grace_sec is not None:
             self.orphan_grace_sec = float(orphan_grace_sec)
+        if not self.storage.table_exists("manifest"):
+            return []  # first build may be mid-flight: nothing is garbage yet
         if not expire_history:
-            if not self.storage.table_exists("manifest"):
-                return []  # first build may be mid-flight: nothing is garbage yet
             referenced = {
                 int(r["segment_id"]) for r in self.storage.manifest_snapshot()
             }
@@ -923,9 +971,7 @@ class IndexMaintenance:
         # through compaction).  _publish_supersede remaps the excluded
         # pending rows onto the output segment so the delete still lands
         # at seal().
-        pending = sorted(self.storage.unsealed_generations())
-        if pending and "generation" in tombs.columns:
-            tombs = tombs.where(~F.col("generation").isin(pending))
+        tombs = self._reader_active_tombstones(tombs)
         dead = tombs.select("docid").persist()
         n_dead = dead.count()
         dead_side = (
@@ -1082,19 +1128,40 @@ class IndexMaintenance:
             out = mapping[r["segment_id"]]
             span_lo[out] = min(span_lo.get(out, r["docid_lo"]), r["docid_lo"])
             span_hi[out] = max(span_hi.get(out, r["docid_hi"]), r["docid_hi"])
-        lo_map = F.create_map(*[F.lit(x) for pair in span_lo.items() for x in pair])
-        hi_map = F.create_map(*[F.lit(x) for pair in span_hi.items() for x in pair])
+        # Span rows drive the join (not the doclens agg): an output whose
+        # every doc was tombstoned has NO doclens rows, and skipping its
+        # manifest row would leave its docid span recorded only on the
+        # superseded sources — one gc(expire_history=True) later,
+        # next_bases() would re-mint previously-assigned docids.  A
+        # doc_count=0 row keeps the span alive (readers scan an empty
+        # partition set; density treats 0-doc segments as 0.0).
+        spans_rows = self.spark.createDataFrame(
+            [
+                (int(s), int(span_lo[s]), int(span_hi[s]))
+                for s in out_segs
+                if s in span_lo
+            ],
+            "segment_id int, span_lo long, span_hi long",
+        )
         doclens = self.storage.read("doclens").where(F.col("segment_id").isin(out_segs))
-        new_rows = doclens.groupBy("segment_id").agg(
+        agg = doclens.groupBy("segment_id").agg(
             F.min("docid").alias("live_lo"),
             (F.max("docid") + F.lit(1)).alias("live_hi"),
             F.count("*").alias("doc_count"),
-        ).select(
+        )
+        # full outer: span-only side keeps zero-survivor outputs alive,
+        # agg-only side keeps outputs whose src manifest rows vanished
+        # (replay remnant) publishing from live data alone, as before
+        new_rows = spans_rows.join(agg, on="segment_id", how="full").select(
             F.lit(gen_next).alias("generation"),
             "segment_id",
-            F.least("live_lo", lo_map[F.col("segment_id")]).alias("docid_lo"),
-            F.greatest("live_hi", hi_map[F.col("segment_id")]).alias("docid_hi"),
-            "doc_count",
+            F.coalesce(F.least("live_lo", "span_lo"), F.col("span_lo")).alias(
+                "docid_lo"
+            ),
+            F.coalesce(F.greatest("live_hi", "span_hi"), F.col("span_hi")).alias(
+                "docid_hi"
+            ),
+            F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
             F.lit("sealed").alias("status"),
             F.lit(time.time()).alias("built_at"),
         )

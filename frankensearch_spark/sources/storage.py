@@ -1606,6 +1606,19 @@ class IndexStorage:
     def write_meta(self, meta: IndexMeta) -> None:
         os.makedirs(self.index_dir, exist_ok=True)
         meta.created_at = meta.created_at or time.time()
+        # history_floor is MONOTONE and may have been advanced on disk by
+        # another maintenance instance's gc() since this facade captured
+        # its meta snapshot (seal/upsert/supersede all persist the whole
+        # dataclass).  Writing a stale floor would re-admit at_generation
+        # readers onto history whose segment dirs gc already deleted, so
+        # fold in the disk value — gc() additionally re-reads meta before
+        # its own floor write (the belt to this suspender).
+        try:
+            meta.history_floor = max(
+                int(meta.history_floor), int(self.read_meta().history_floor)
+            )
+        except Exception:
+            pass  # first write, or unreadable prior meta — nothing to fold
         tmp = os.path.join(self.index_dir, INDEX_META + ".tmp")
         with open(tmp, "w") as fh:
             fh.write(meta.to_json())
