@@ -371,6 +371,12 @@ def _lex_atom(
         i + 2 < n and (text[i + 2].isspace() or text[i + 2] == "[")
     ):
         j = text.find("[", i)
+        # the '[' must FOLLOW IN with only whitespace between: an
+        # unbounded find would swallow every token up to some later
+        # bracket ('role:IN assistant [1 TO 2]' silently ate 'assistant'
+        # and turned the range into set values, with zero diagnostics)
+        if j != -1 and text[i + 2 : j].strip():
+            j = -1
         if j != -1:
             close = text.find("]", j)
             if close == -1:
@@ -574,6 +580,17 @@ class _Parser:
         if atom is None:
             return None, None, None
         if atom.kind == "op" and atom.raw == "NOT":
+            # collapse a run of NOTs iteratively (idempotent — NOT
+            # overrides any prefix, so NOT NOT x ≡ NOT x) instead of
+            # recursing once per token: MAX_QUERY_LENGTH admits ~2,500
+            # 'NOT ' repetitions, past the interpreter recursion limit,
+            # and the lenient parse must never raise
+            while True:
+                nxt = self._peek()
+                if nxt is not None and nxt.kind == "op" and nxt.raw == "NOT":
+                    self._next()
+                else:
+                    break
             occur, child, key = self._parse_unary(scope, depth)
             if child is None:
                 return None, None, None
@@ -634,6 +651,18 @@ class _Parser:
             fname = targets[0].name
             lower = _normalize_value(atom.lower, kind)
             upper = _normalize_value(atom.upper, kind)
+            if kind is FieldType.I64:
+                # '*' = open bound; any other non-numeric bound drops the
+                # leaf leniently (the bare-atom path already does this) —
+                # letting a str bound reach the bigint column would raise
+                # CAST_INVALID_INPUT at execution under ANSI mode
+                lower = None if atom.lower == "*" else lower
+                upper = None if atom.upper == "*" else upper
+                if isinstance(lower, str) or isinstance(upper, str):
+                    self.diagnostics.append(
+                        Diagnostic("type", f"non-numeric range bound on {fname}")
+                    )
+                    return None, None, None
             node = RangeQ(
                 field=fname,
                 lower=lower,
@@ -647,8 +676,16 @@ class _Parser:
             seen: list[Union[str, int]] = []
             for v in atom.values:
                 nv = _normalize_value(v, kind)
+                if kind is FieldType.I64 and isinstance(nv, str):
+                    # same lenient drop as the bare-atom type check
+                    self.diagnostics.append(
+                        Diagnostic("type", f"non-numeric set value {v!r} on {fname}")
+                    )
+                    continue
                 if nv not in seen:
                     seen.append(nv)
+            if not seen:
+                return None, None, None
             node = SetQ(field=fname, values=tuple(seen))
             key = ("set", fname, tuple(seen))
         elif atom.kind in ("bare", "quoted"):
@@ -768,7 +805,11 @@ def _fold_binary(operands, ops, op_name: str, occur: Occur):
             prev_occ, prev_key, prev = new_operands[-1]
             r_occ, r_key, r_node = right
             clauses = []
-            if isinstance(prev, Boolean) and prev.operator == op_name:
+            # flatten only occur-less booleans: folds built by THIS run
+            # always carry occ=None, but a user-written '-(a AND b)' or
+            # 'NOT (a OR b)' group arrives with a MUST_NOT prefix that
+            # splicing would silently discard — inverting the query
+            if prev_occ is None and isinstance(prev, Boolean) and prev.operator == op_name:
                 clauses.extend(prev.clauses)
             else:
                 clauses.append(BooleanClause(prev_occ or occur, prev))
