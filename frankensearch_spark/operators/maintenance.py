@@ -481,6 +481,28 @@ class IndexMaintenance:
             if matched is not None:
                 matched.unpersist()
 
+    def upsert_arrow_small(
+        self,
+        table,
+        sort_cols: Sequence[str] = ("doc_id",),
+        seal: bool = True,
+    ) -> Optional[list[int]]:
+        """Driver-side micro-commit of a small pyarrow document batch.
+
+        The watch-mode fast path (``operators/microcommit.py``): at or
+        under the driver-commit row gate the whole upsert protocol runs
+        on the driver with zero Spark jobs (same tokenizer kernels, same
+        posting codec, same commit protocol), which removes the ~8
+        fixed-latency jobs a micro-batch otherwise pays.  Returns the
+        new segment ids, ``[]`` for a no-change commit, or ``None`` when
+        ineligible — callers fall back to :meth:`upsert` with the
+        original DataFrame.  ``table`` must already be deduplicated on
+        ``doc_id``.
+        """
+        from .microcommit import upsert_arrow_driver
+
+        return upsert_arrow_driver(self, table, list(sort_cols), seal)
+
     def seal(self) -> list[int]:
         """Commit previously unsealed segments for all readers.
 

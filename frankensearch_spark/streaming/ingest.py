@@ -24,6 +24,7 @@ cadence seal publishes everything exactly once.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from typing import Optional
@@ -106,6 +107,86 @@ def transcript_batch_to_docs(batch: DataFrame) -> DataFrame:
     )
 
 
+_TRANSCRIPT_COLS = ("conv_id", "turn_idx", "role", "tool", "ts", "text")
+
+
+def _batch_docs_arrow(batch: DataFrame, max_rows: int):
+    """The micro-batch's document rows as a deduplicated pyarrow Table,
+    WITHOUT a Spark job when possible.
+
+    A file-source micro-batch (the watch-mode shape) is exactly a set of
+    source files; reading them with pyarrow on the driver and applying
+    :func:`transcript_batch_to_docs`'s projection in Arrow removes the
+    per-batch collect job.  Any surprise — non-file source, extra
+    columns missing, nulls in the identity columns, over the row gate —
+    falls back to ONE bounded ``toArrow`` collect; returning None means
+    "stay on the distributed path".  Dedup is keep-first on ``doc_id``
+    (``dropDuplicates`` keeps an arbitrary copy; first-in-batch is a
+    deterministic refinement of the same contract).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tbl = None
+    try:
+        files = [
+            f[7:] if f.startswith("file://") else (f[5:] if f.startswith("file:") else f)
+            for f in batch.inputFiles()
+        ]
+    except Exception:
+        files = []
+    if files and all(os.path.exists(f) for f in files):
+        try:
+            import pyarrow.parquet as pq
+
+            metas = [pq.ParquetFile(f) for f in files]
+            if sum(m.metadata.num_rows for m in metas) <= max_rows and all(
+                set(_TRANSCRIPT_COLS) <= set(m.schema_arrow.names) for m in metas
+            ):
+                parts = [
+                    pq.read_table(f, columns=list(_TRANSCRIPT_COLS)) for f in files
+                ]
+                raw = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+                conv = raw["conv_id"].combine_chunks()
+                turn = raw["turn_idx"].combine_chunks().cast(pa.int64())
+                if conv.null_count == 0 and turn.null_count == 0:
+                    doc_id = pc.binary_join_element_wise(
+                        conv.cast(pa.string()), turn.cast(pa.string()), ":"
+                    )
+                    tbl = pa.table(
+                        {
+                            "doc_id": doc_id,
+                            "conv_id": conv,
+                            "turn_idx": turn,
+                            "role": raw["role"].combine_chunks(),
+                            "tool": raw["tool"].combine_chunks(),
+                            "ts": raw["ts"].combine_chunks(),
+                            "content": raw["text"].combine_chunks(),
+                        }
+                    )
+        except Exception:
+            tbl = None
+    if tbl is None:
+        try:
+            tbl = (
+                transcript_batch_to_docs(batch).limit(max_rows + 1).toArrow()
+            )
+        except Exception:
+            return None
+        if tbl.num_rows > max_rows:
+            return None
+    ids = tbl["doc_id"].to_pylist()
+    if len(set(ids)) != len(ids):
+        seen: set = set()
+        keep = []
+        for i, d in enumerate(ids):
+            if d not in seen:
+                seen.add(d)
+                keep.append(i)
+        tbl = tbl.take(pa.array(keep, pa.int64()))
+    return tbl
+
+
 class SealCadence:
     """Driver-side debounce state: when to flip staged batches sealed.
 
@@ -178,6 +259,33 @@ def upsert_batch(
     batches converge to the same visible corpus (duplicate-then-delete
     idempotence — reference plan §15.3).
     """
+    # Driver fast path first: a watch-mode-sized batch commits with zero
+    # scheduled Spark jobs (microcommit.py — the per-batch fixed job
+    # latency was the entire watch-mode cost at 6k-row sizes).  ``None``
+    # means ineligible; fall through to the distributed body unchanged.
+    from ..operators.microcommit import DRIVER_UPSERT_MAX_ROWS
+
+    max_rows = int(
+        index.spark.conf.get(
+            "frankensearch.upsert.driverMaxRows", str(DRIVER_UPSERT_MAX_ROWS)
+        )
+    )
+    if max_rows > 0:
+        arrow_tbl = _batch_docs_arrow(batch, max_rows)
+        if arrow_tbl is not None:
+            segs = index.maintenance.upsert_arrow_small(
+                arrow_tbl,
+                sort_cols=("conv_id", "turn_idx"),
+                seal=(cadence is None),
+            )
+            if segs is not None:
+                if segs:
+                    index.reopen()
+                    if cadence is not None:
+                        cadence.note_batch()
+                elif cadence is not None:
+                    cadence.note_empty_batch()
+                return
     # no isEmpty() precheck: that is a whole Spark job per micro-batch,
     # and upsert's own changed-count early-returns on empty input anyway
     docs = transcript_batch_to_docs(batch).dropDuplicates(["doc_id"])
