@@ -354,6 +354,15 @@ class SearchEngine:
         #: here reopen() discards the engine and the cache with it)
         self._query_cache: "OrderedDict[tuple, SearchResult]" = OrderedDict()
         self.query_cache_capacity = 128
+        #: prepared-plan cache: query -> (scored DataFrame, pivot bound).
+        #: The scored frame is an UNEXECUTED Catalyst plan — every search
+        #: still computes from the parquet snapshot — but constructing it
+        #: (leaf frames, literal CASE chains, f32 score columns) is
+        #: 120-185 ms of driver-side py4j per query class, fixed for this
+        #: engine's snapshot.  The prepared-statement analogue; dropped
+        #: with the engine at reopen() like every snapshot-pinned cache.
+        self._plan_frame_cache: "OrderedDict[str, tuple]" = OrderedDict()
+        self.plan_frame_cache_capacity = 64
         #: Cost floor for auto-engaging the pruned plan (see
         #: pruned.AUTO_PRUNE_MIN_COST for the rationale); tunable per
         #: deployment to the cluster's job-scheduling overhead.
@@ -581,8 +590,16 @@ class SearchEngine:
             sb = m.get("surviving_blocks")
             if sb is not None:
                 pruned_pivot_bound = sb * POSTINGS_PER_BLOCK * len(plan.leaves)
+        cached_bound = None
+        frame_key = None
         if scored is None:
-            scored = self._evaluate(plan)
+            frame_key = repr(query)
+            hit = self._plan_frame_cache.get(frame_key)
+            if hit is not None:
+                self._plan_frame_cache.move_to_end(frame_key)
+                scored, cached_bound = hit
+            else:
+                scored = self._evaluate(plan)
         if scored is None:
             return SearchResult(
                 hits=_empty_hits(),
@@ -608,11 +625,19 @@ class SearchEngine:
             and plan.spec.get("t") == "leaf"
             and len(plan.leaves) == 1
         )
-        pivot_bound = (
-            pruned_pivot_bound
-            if pruned_pivot_bound is not None
-            else self._pivot_rows_bound(plan)
-        )
+        if pruned_pivot_bound is not None:
+            pivot_bound = pruned_pivot_bound
+        elif cached_bound is not None:
+            # the bound computed when the frame was BUILT (leaf dfs were
+            # resolved then; recomputing now would substitute doc_count
+            # for every leaf and mis-size the execution session)
+            pivot_bound = cached_bound
+        else:
+            pivot_bound = self._pivot_rows_bound(plan)
+        if frame_key is not None and cached_bound is None:
+            self._plan_frame_cache[frame_key] = (scored, pivot_bound)
+            if len(self._plan_frame_cache) > self.plan_frame_cache_capacity:
+                self._plan_frame_cache.popitem(last=False)
         if single_leaf or pivot_bound <= SMALL_PIVOT_MAX_ROWS:
             scored = self._without_aqe(scored)
         try:
@@ -1796,10 +1821,125 @@ class SearchEngine:
             F.lit(1.0).cast("float").alias("score"),
         )
 
+    #: budget for the driver-side hydration read: the matched row groups'
+    #: compressed bytes for the requested columns must fit under this or
+    #: the distributed point-read runs instead (a 100 TB index with fat
+    #: row groups must not funnel megabytes through the driver per query)
+    DRIVER_HYDRATION_MAX_BYTES = 32 << 20
+
+    def _point_read_docs_driver(
+        self, docids: list, cols: list
+    ) -> Optional[pd.DataFrame]:
+        """Zero-job point-read of ``cols`` for k docids via pyarrow.
+
+        The winners' docids land in ≤k live segment directories (manifest
+        spans); within each file the docs table is docid-sorted, so row
+        group min/max statistics isolate the ≤k groups that can contain
+        them.  Reading those groups' requested columns on the driver is
+        O(k × row-group) work bounded by
+        :data:`DRIVER_HYDRATION_MAX_BYTES` — at bench scale ~1 ms of IO
+        replacing a ~100 ms scheduled Spark job.  Returns None (caller
+        runs the distributed read) on any surprise: no spans, non-local
+        format, non-primitive column types, or over-budget row groups.
+        """
+        if self._span_arrays is None or self.storage.format != "parquet":
+            return None
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        seg_a, lo_a, hi_a = self._span_arrays
+        targets: dict[int, list[int]] = {}
+        for d in docids:
+            for s in seg_a[(lo_a <= d) & (d <= hi_a)]:
+                targets.setdefault(int(s), []).append(int(d))
+        file_cache = self.__dict__.setdefault("_docs_file_cache", {})
+        budget = self.DRIVER_HYDRATION_MAX_BYTES
+        frames = []
+        want = set(docids)
+        try:
+            for seg, ids in targets.items():
+                files = file_cache.get(seg)
+                if files is None:
+                    part = os.path.join(
+                        self.storage.path("docs"), f"segment_id={seg}"
+                    )
+                    if not os.path.isdir(part):
+                        return None
+                    files = sorted(
+                        os.path.join(part, f)
+                        for f in os.listdir(part)
+                        if f.endswith(".parquet")
+                    )
+                    file_cache[seg] = files
+                for path in files:
+                    pf = pq.ParquetFile(path)
+                    names = pf.schema_arrow.names
+                    if not set(cols) <= set(names):
+                        return None
+                    for c in cols:
+                        t = pf.schema_arrow.field(c).type
+                        if not (
+                            pa.types.is_integer(t)
+                            or pa.types.is_floating(t)
+                            or pa.types.is_string(t)
+                            or pa.types.is_large_string(t)
+                            or pa.types.is_boolean(t)
+                        ):
+                            return None
+                    md = pf.metadata
+                    if md.num_row_groups == 0:
+                        continue
+                    col_idx = {
+                        md.row_group(0).column(i).path_in_schema: i
+                        for i in range(md.num_columns)
+                    }
+                    if "docid" not in col_idx:
+                        return None
+                    groups = []
+                    for g in range(md.num_row_groups):
+                        st = md.row_group(g).column(col_idx["docid"]).statistics
+                        if (
+                            st is None
+                            or not st.has_min_max
+                            or any(st.min <= d <= st.max for d in ids)
+                        ):
+                            groups.append(g)
+                    if not groups:
+                        continue
+                    budget -= sum(
+                        md.row_group(g).column(col_idx[c]).total_compressed_size
+                        for g in groups
+                        for c in cols
+                        if c in col_idx
+                    )
+                    if budget < 0:
+                        return None
+                    t = pf.read_row_groups(groups, columns=list(cols))
+                    mask = pc.is_in(
+                        t["docid"], value_set=pa.array(ids, pa.int64())
+                    )
+                    t = t.filter(mask)
+                    if t.num_rows:
+                        frames.append(t)
+        except (OSError, pa.ArrowInvalid):
+            return None
+        if not frames:
+            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+        out = pa.concat_tables(frames).to_pandas()
+        # docids are globally unique; belt-and-braces against replay
+        # remnants feeding overlapping spans
+        out = out.drop_duplicates(subset=["docid"])
+        return out[[c for c in cols]][out["docid"].isin(want)].reset_index(drop=True)
+
     def _point_read_docs(
         self, docs: DataFrame, docids: list, cols: list
     ) -> pd.DataFrame:
         """O(k) point-read of stored columns for k docids.
+
+        Served driver-side (zero Spark jobs) when the row-group-pruned
+        pyarrow read fits the budget — see :meth:`_point_read_docs_driver`
+        — else by the distributed plan below.
 
         Manifest docid spans -> partition pruning: only the <=k segment
         directories that can contain a requested docid are scanned (a
@@ -1808,6 +1948,9 @@ class SearchEngine:
         at ANY corpus size).  AQE is pure overhead on this exchange-free
         plan, so the action runs on the no-AQE session.
         """
+        driver = self._point_read_docs_driver(docids, cols)
+        if driver is not None:
+            return driver
         if len(docids) <= self.segment_pin_isin_max:
             hydra = docs.where(F.col("docid").isin(docids))
         else:
