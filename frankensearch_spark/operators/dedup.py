@@ -104,20 +104,33 @@ def shingle_frame(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, shingles, sig array<long>[k]) — one scan, no shuffle."""
+    """(doc_id, shingles, sig array<long>[k]) — one scan, no shuffle.
+
+    The per-shingle polynomial hash is materialized as its OWN projection
+    (``_sh_hashes``) before the k permutation mins: inlining it under all
+    k ``array_min(transform(...))`` expressions re-evaluated the
+    char-level fold k times per shingle — higher-order-function lambdas
+    sit outside Catalyst's subexpression elimination.  The separate alias
+    is referenced k times by non-cheap expressions, which keeps
+    CollapseProject from re-inlining it (same staging discipline as the
+    codec's Hillis-Steele passes).  Measured 2.6x on the signature scan
+    at sf0.01 (plans/r06/dedup_minhash_lsh_after.txt).
+    """
     sh = shingle_frame(df, text_col, id_col)
-    hashes = F.transform(F.col("shingles"), lambda s: poly_hash(s))
+    hashed = sh.withColumn(
+        "_sh_hashes", F.transform(F.col("shingles"), lambda s: poly_hash(s))
+    )
 
     def perm(a: int, b: int):
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(HASH_MOD)
 
     sig = F.array(
         *[
-            F.array_min(F.transform(hashes, perm(a, b)))
+            F.array_min(F.transform(F.col("_sh_hashes"), perm(a, b)))
             for a, b in zip(MINHASH_A, MINHASH_B)
         ]
     )
-    return sh.select("doc_id", "shingles", sig.alias("sig"))
+    return hashed.select("doc_id", "shingles", sig.alias("sig"))
 
 
 def _cap_band_buckets(bands: DataFrame, key: str, id_: str, cap: int | None) -> DataFrame:

@@ -36,6 +36,7 @@ import json
 import os
 import threading
 import time
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -1919,14 +1920,17 @@ class SearchEngine:
                     mask = pc.is_in(
                         t["docid"], value_set=pa.array(ids, pa.int64())
                     )
-                    t = t.filter(mask)
+                    # normalize column order per file: different writers
+                    # (build, compaction, driver micro-commit) may order
+                    # or type file schemas differently
+                    t = t.filter(mask).select(list(cols))
                     if t.num_rows:
                         frames.append(t)
         except (OSError, pa.ArrowInvalid):
             return None
         if not frames:
             return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
-        out = pa.concat_tables(frames).to_pandas()
+        out = pa.concat_tables(frames, promote_options="permissive").to_pandas()
         # docids are globally unique; belt-and-braces against replay
         # remnants feeding overlapping spans
         out = out.drop_duplicates(subset=["docid"])
@@ -2028,8 +2032,6 @@ def _bucket(term: str, num_buckets: int) -> int:
     builtin, so the driver can compute which postings/terms partition
     directories a query term lives in and prune the scan to them.
     """
-    import zlib
-
     return zlib.crc32(term.encode("utf-8")) % num_buckets
 
 
