@@ -110,7 +110,57 @@ def transcript_batch_to_docs(batch: DataFrame) -> DataFrame:
 _TRANSCRIPT_COLS = ("conv_id", "turn_idx", "role", "tool", "ts", "text")
 
 
-def _batch_docs_arrow(batch: DataFrame, max_rows: int):
+def _batch_files_from_checkpoint(
+    checkpoint_dir: str, batch_id: int
+) -> list[str] | None:
+    """The micro-batch's source files from the stream's own offset log.
+
+    A file-source micro-batch IS a file list, but Structured Streaming
+    hides it from the batch DataFrame (``inputFiles()`` is empty under
+    IncrementalExecution).  The authoritative record exists anyway: the
+    file-source log at ``<checkpoint>/sources/0/<batchId>`` is committed
+    BEFORE foreachBatch runs and lists exactly this batch's files (a
+    ``.compact`` entry carries every file seen so far, each tagged with
+    its batchId — filter to ours).  Single-source streams only; any
+    surprise returns None and the caller collects through Spark.
+    """
+    import json
+
+    src_root = os.path.join(checkpoint_dir, "sources")
+    try:
+        sources = os.listdir(src_root)
+    except OSError:
+        return None
+    if sources != ["0"]:
+        return None
+    base = os.path.join(src_root, "0")
+    path = os.path.join(base, str(batch_id))
+    if not os.path.exists(path):
+        path = os.path.join(base, f"{batch_id}.compact")
+        if not os.path.exists(path):
+            return None
+    out: list[str] = []
+    try:
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or not line.startswith("{"):
+                    continue  # version header
+                entry = json.loads(line)
+                if int(entry.get("batchId", batch_id)) != int(batch_id):
+                    continue
+                p = entry["path"]
+                if p.startswith("file://"):
+                    p = p[7:]
+                elif p.startswith("file:"):
+                    p = p[5:]
+                out.append(p)
+    except (OSError, ValueError, KeyError):
+        return None
+    return out or None
+
+
+def _batch_docs_arrow(batch: DataFrame, max_rows: int, files: list | None = None):
     """The micro-batch's document rows as a deduplicated pyarrow Table,
     WITHOUT a Spark job when possible.
 
@@ -128,13 +178,14 @@ def _batch_docs_arrow(batch: DataFrame, max_rows: int):
     import pyarrow.compute as pc
 
     tbl = None
-    try:
-        files = [
-            f[7:] if f.startswith("file://") else (f[5:] if f.startswith("file:") else f)
-            for f in batch.inputFiles()
-        ]
-    except Exception:
-        files = []
+    if files is None:
+        try:
+            files = [
+                f[7:] if f.startswith("file://") else (f[5:] if f.startswith("file:") else f)
+                for f in batch.inputFiles()
+            ]
+        except Exception:
+            files = []
     if files and all(os.path.exists(f) for f in files):
         try:
             import pyarrow.parquet as pq
@@ -247,6 +298,7 @@ def upsert_batch(
     batch: DataFrame,
     batch_id: int,
     cadence: Optional[SealCadence] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> None:
     """foreachBatch body: dedup on identity, stage as new segment(s).
 
@@ -278,7 +330,12 @@ def upsert_batch(
     )
     if max_rows > 0:
         maint = index.maintenance
-        arrow_tbl = _batch_docs_arrow(batch, max_rows)
+        files = (
+            _batch_files_from_checkpoint(checkpoint_dir, batch_id)
+            if checkpoint_dir is not None
+            else None
+        )
+        arrow_tbl = _batch_docs_arrow(batch, max_rows, files=files)
         if arrow_tbl is not None:
             segs = maint.upsert_arrow_small(
                 arrow_tbl,
@@ -408,13 +465,37 @@ def stream_ingest(
     the old seal-per-batch commit).  ``awaitTermination`` / ``stop`` on
     the returned proxy seal whatever tail is still staged.
     """
+    # The zero-collect file route (offset-log file discovery) is only
+    # sound when the batch IS the raw source files: any upstream
+    # transform (a Filter dropping rows, a Project rewriting text) is
+    # invisible at batch time — foreachBatch hands the sink an opaque
+    # LogicalRDD — but IS visible here on the un-started streaming plan.
+    # Trust the checkpoint's file lists only for a bare StreamingRelation
+    # input; everything else keeps the bounded per-batch collect.
+    raw_source = False
+    try:
+        plan = str(transcripts._jdf.queryExecution().analyzed()).strip()
+        # a bare file source analyzes to the single node
+        # ``FileSource[<path>]`` (``StreamingRelation ...`` on older
+        # layouts); ANY second plan line is a transform — distrust
+        raw_source = "\n" not in plan and (
+            plan.startswith("FileSource[")
+            or plan.lstrip("~'").startswith("StreamingRelation")
+        )
+    except Exception:
+        raw_source = False
     if watermark:
         transcripts = transcripts.withWatermark("ts", watermark)
     cadence = SealCadence(index, seal_every_batches, seal_every_sec)
+    ckpt_for_files = checkpoint_dir if raw_source else None
     writer = (
         transcripts.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(lambda batch, bid: upsert_batch(index, batch, bid, cadence))
+        .foreachBatch(
+            lambda batch, bid: upsert_batch(
+                index, batch, bid, cadence, checkpoint_dir=ckpt_for_files
+            )
+        )
     )
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)

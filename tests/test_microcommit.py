@@ -161,6 +161,87 @@ def test_stream_sink_engages_driver_path(spark, tmp_path):
     assert len(res.hits) == 10
 
 
+def test_stream_file_route_skips_the_collect_for_raw_sources(spark, tmp_path, monkeypatch):
+    """A bare file-source stream resolves its batches from the
+    checkpoint's offset log (zero Spark jobs); the route must report the
+    batch's exact file set."""
+    import frankensearch_spark.streaming.ingest as I
+
+    consulted = []
+    orig = I._batch_files_from_checkpoint
+
+    def probe(ck, bid):
+        out = orig(ck, bid)
+        consulted.append(out)
+        return out
+
+    monkeypatch.setattr(I, "_batch_files_from_checkpoint", probe)
+    corpus = synthetic_transcripts(spark, 6_000, partitions=8)
+    src = os.path.join(tmp_path, "src")
+    corpus.write.mode("overwrite").parquet(src)
+    transcripts = spark.read.parquet(src)
+    index = LexicalIndex.build_transcripts(
+        spark, corpus, os.path.join(tmp_path, "ix"), num_segments=2, num_buckets=8
+    )
+    upd = os.path.join(tmp_path, "upd")
+    synthetic_transcripts(spark, 2_000, partitions=2, seed=5).write.mode(
+        "overwrite"
+    ).parquet(upd)
+    stream = (
+        spark.readStream.schema(transcripts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(upd)
+    )
+    q = I.stream_ingest(index, stream, os.path.join(tmp_path, "ckpt"))
+    q.awaitTermination(300)
+    assert len(consulted) == 2 and all(
+        fl is not None and len(fl) == 1 for fl in consulted
+    ), consulted
+
+
+def test_stream_file_route_distrusts_transformed_sources(spark, tmp_path, monkeypatch):
+    """An upstream Filter is invisible at batch time (opaque LogicalRDD),
+    so the offset-log file route must be DISABLED for any transformed
+    stream — else rows the user filtered out would be ingested from the
+    raw files.  The guard inspects the un-started streaming plan."""
+    import frankensearch_spark.streaming.ingest as I
+
+    consulted = []
+    orig = I._batch_files_from_checkpoint
+
+    def probe(ck, bid):
+        consulted.append(bid)
+        return orig(ck, bid)
+
+    monkeypatch.setattr(I, "_batch_files_from_checkpoint", probe)
+    corpus = synthetic_transcripts(spark, 6_000, partitions=8)
+    src = os.path.join(tmp_path, "src")
+    corpus.write.mode("overwrite").parquet(src)
+    transcripts = spark.read.parquet(src)
+    index = LexicalIndex.build_transcripts(
+        spark, corpus, os.path.join(tmp_path, "ix"), num_segments=2, num_buckets=8
+    )
+    upd = os.path.join(tmp_path, "upd")
+    synthetic_transcripts(spark, 2_000, partitions=2, seed=5).write.mode(
+        "overwrite"
+    ).parquet(upd)
+    stream = (
+        spark.readStream.schema(transcripts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(upd)
+        .where("turn_idx % 2 = 0")
+    )
+    q = I.stream_ingest(index, stream, os.path.join(tmp_path, "ckpt"))
+    q.awaitTermination(300)
+    assert consulted == [], "transformed streams must never trust the offset log"
+    # and the filter really was respected by whatever route ran
+    st = IndexStorage(spark, index.index_dir)
+    new_odd = (
+        st.read("docs").where("turn_idx % 2 = 1 and docid >= 6000").count()
+    )
+    assert new_odd == 0
+
+
 def test_identity_cache_invalidated_by_distributed_writer(spark, tmp_path):
     """A distributed mutation between driver commits changes the docs
     listing; the mirror must rebuild, not serve stale rows."""
