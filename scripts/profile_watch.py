@@ -168,9 +168,9 @@ try:
     _orig_body = I.upsert_batch
     stamps: list[tuple[float, float]] = []
 
-    def timed_body(idx_, batch_, bid_, cadence_=None):
+    def timed_body(idx_, batch_, bid_, cadence_=None, **kw):
         s = time.time()
-        out = _orig_body(idx_, batch_, bid_, cadence_)
+        out = _orig_body(idx_, batch_, bid_, cadence_, **kw)
         stamps.append((s, time.time()))
         return out
 
