@@ -170,7 +170,13 @@ def _build_identity_cache(maint) -> Optional[IdentityCache]:
             for i, d in enumerate(ids):
                 rows.setdefault(d, []).append((int(docid[i]), int(seg), int(chash[i])))
     for f in storage.list_tombstone_files():
-        t = pq.read_table(f, columns=["docid", "generation"])
+        pf = pq.ParquetFile(f)
+        if not {"docid", "generation"} <= set(pf.schema_arrow.names):
+            # legacy tombstone layout (no generation column): its
+            # visibility semantics differ — leave this index to the
+            # distributed path, which handles it explicitly
+            return None
+        t = pf.read(columns=["docid", "generation"])
         for d, g in zip(
             t["docid"].to_numpy(zero_copy_only=False),
             t["generation"].to_numpy(zero_copy_only=False),
@@ -886,12 +892,30 @@ def _upsert_arrow_driver(maint, table, sort_cols, seal: bool) -> Optional[list[i
                 (int(docids[i]), int(seg_of[i]), int(chash_changed[i]))
             )
         cache.fingerprint = _identity_fingerprint(storage)
+        # residency gate re-check: the in-place updates above are the one
+        # path that grows the mirror WITHOUT re-entering
+        # _build_identity_cache's count gates — a long-lived stream of
+        # driver commits must not accrete an unbounded dict.  Dropping
+        # the cache makes the next batch rebuild (and re-gate): an index
+        # grown past the caps then falls back to the distributed path.
+        if (
+            len(cache.rows) > IDENTITY_CACHE_MAX_DOCS
+            or len(cache.tomb) > IDENTITY_CACHE_MAX_TOMBSTONES
+        ):
+            invalidate_identity_cache(storage.index_dir)
         return segments
-    except _FooterMismatch:
-        # nothing published (the manifest append is the publish point and
-        # either succeeded last or failed atomically); restore the meta
-        # and let the distributed path replay the batch — its dynamic
-        # partition overwrite replaces any partial segment files
+    except Exception:
+        # Fail toward the distributed path for ANY commit-time surprise
+        # (footer drift, an un-castable value, an IO error) — not just
+        # the explicit _FooterMismatch: the contract is "None when
+        # ineligible", and an exception escaping here would kill the
+        # stream with meta.generation left at gen_next.  Replay is safe
+        # at EVERY crash point: before the manifest append nothing is
+        # published (partial segment files are overwritten by the replay,
+        # driver or distributed); after it, the re-upsert's content-hash
+        # skip sees the published copies and converges to an empty
+        # commit (duplicate-then-delete idempotence).  driver_fallbacks
+        # surfaces the rate.
         meta.generation = prior_generation
         invalidate_identity_cache(storage.index_dir)
         return None

@@ -1852,7 +1852,14 @@ class SearchEngine:
         seg_a, lo_a, hi_a = self._span_arrays
         targets: dict[int, list[int]] = {}
         for d in docids:
-            for s in seg_a[(lo_a <= d) & (d <= hi_a)]:
+            in_span = (lo_a <= d) & (d <= hi_a)
+            if not in_span.any():
+                # same guard as the distributed body: a docid outside
+                # every manifest span means the span metadata cannot be
+                # trusted to locate rows — fall back to the full scan
+                # rather than silently dropping the winner
+                return None
+            for s in seg_a[in_span]:
                 targets.setdefault(int(s), []).append(int(d))
         file_cache = self.__dict__.setdefault("_docs_file_cache", {})
         budget = self.DRIVER_HYDRATION_MAX_BYTES
@@ -1929,7 +1936,13 @@ class SearchEngine:
         except (OSError, pa.ArrowInvalid):
             return None
         if not frames:
-            return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+            # typed like the non-empty path so _materialize's merge on
+            # docid never dtype-mismatches the int64 winners
+            empty = {
+                c: pd.Series(dtype="int64" if c == "docid" else object)
+                for c in cols
+            }
+            return pd.DataFrame(empty)
         out = pa.concat_tables(frames, promote_options="permissive").to_pandas()
         # docids are globally unique; belt-and-braces against replay
         # remnants feeding overlapping spans

@@ -160,39 +160,62 @@ def _batch_files_from_checkpoint(
     return out or None
 
 
+def _file_schema_canonical(schema) -> bool:
+    """True when a source file's column types match the canonical
+    transcript schema closely enough that the Arrow projection below is
+    value-identical to :func:`transcript_batch_to_docs`'s Spark casts.
+    Anything looser (a long epoch ``ts``, a double ``turn_idx``) would
+    cast DIFFERENTLY driver-side (e.g. int64→timestamp reinterprets
+    seconds as microseconds; ``5.0`` stringifies as "5.0" in Spark but
+    "5" after an int cast) — those fall back to the Spark collect."""
+    import pyarrow as pa
+
+    by_name = {f.name: f.type for f in schema}
+    return (
+        pa.types.is_string(by_name["conv_id"])
+        and pa.types.is_integer(by_name["turn_idx"])
+        and pa.types.is_timestamp(by_name["ts"])
+        and pa.types.is_string(by_name["role"])
+        and pa.types.is_string(by_name["tool"])
+        and pa.types.is_string(by_name["text"])
+    )
+
+
 def _batch_docs_arrow(batch: DataFrame, max_rows: int, files: list | None = None):
     """The micro-batch's document rows as a deduplicated pyarrow Table,
     WITHOUT a Spark job when possible.
 
-    A file-source micro-batch (the watch-mode shape) is exactly a set of
-    source files; reading them with pyarrow on the driver and applying
-    :func:`transcript_batch_to_docs`'s projection in Arrow removes the
-    per-batch collect job.  Any surprise — non-file source, extra
-    columns missing, nulls in the identity columns, over the row gate —
-    falls back to ONE bounded ``toArrow`` collect; returning None means
-    "stay on the distributed path".  Dedup is keep-first on ``doc_id``
-    (``dropDuplicates`` keeps an arbitrary copy; first-in-batch is a
-    deterministic refinement of the same contract).
+    ``files`` is the batch's authoritative source-file list from the
+    stream's offset log (:func:`_batch_files_from_checkpoint`) — ONLY
+    provided when the streaming plan was verified transform-free, since
+    raw files bypass any Filter/Project an upstream frame carries.
+    (``batch.inputFiles()`` is deliberately NOT consulted: on a static
+    direct-call frame it is non-empty even when the frame has transforms,
+    which would silently ignore them.)  Any surprise — no file list,
+    columns missing, non-canonical column types, nulls in the identity
+    columns, over the row gate — falls back to ONE bounded ``toArrow``
+    collect; returning None means "stay on the distributed path".  Dedup
+    is keep-first on ``doc_id`` (``dropDuplicates`` keeps an arbitrary
+    copy; first-in-batch is a deterministic refinement of the same
+    contract).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
 
     tbl = None
-    if files is None:
-        try:
-            files = [
-                f[7:] if f.startswith("file://") else (f[5:] if f.startswith("file:") else f)
-                for f in batch.inputFiles()
-            ]
-        except Exception:
-            files = []
     if files and all(os.path.exists(f) for f in files):
         try:
             import pyarrow.parquet as pq
 
             metas = [pq.ParquetFile(f) for f in files]
-            if sum(m.metadata.num_rows for m in metas) <= max_rows and all(
-                set(_TRANSCRIPT_COLS) <= set(m.schema_arrow.names) for m in metas
+            if sum(m.metadata.num_rows for m in metas) > max_rows:
+                # the footers already prove the batch is over the driver
+                # gate: skip the bounded collect, go straight distributed
+                return None
+            if all(
+                set(_TRANSCRIPT_COLS) <= set(m.schema_arrow.names)
+                and _file_schema_canonical(m.schema_arrow)
+                for m in metas
             ):
                 parts = [
                     pq.read_table(f, columns=list(_TRANSCRIPT_COLS)) for f in files
