@@ -1603,39 +1603,55 @@ class SearchEngine:
             )
         )
         if leaf.slop == 0:
-            # Slop-0 adjacency entirely JVM-side: one docid-conjunction of
-            # the member terms' posting frames, start positions = chained
+            # Slop-0 adjacency entirely JVM-side: docid-conjunction of the
+            # member terms' postings, start positions = chained
             # array_intersect over offset-shifted position sets (duplicate
             # positions within a doc collapse via array_distinct, matching
             # the reference's set semantics).  The surviving candidate set
             # (docs containing ALL terms) is tiny, and the exact f32 score
             # reuses the shared per-posting scorer with f = occurrences.
+            #
+            # The conjunction is a single-pass pivot-style aggregation —
+            # first(when(ord == i, shifted_positions)) per member — NOT a
+            # per-ord self-join: the join plan scanned + FOR-decoded the
+            # postings once PER SIDE and paid a BroadcastExchange build
+            # (one extra scheduled job per query); the aggregation scans
+            # once and shuffles only the (docid, shifted-positions) rows
+            # (plans/r06/bm25_scored_phrase_{before,after}.txt).  (docid,
+            # ord) is unique by construction — a docid appears in exactly
+            # one posting entry per (field, term) — so first() is
+            # deterministic, exactly as the pivot in _combine relies on.
             def shifted_by(off: int):
                 return lambda p: p - F.lit(int(off))
 
-            joined = None
-            inter = None
-            for i in range(n_terms):
-                fi = (
-                    rows.where(F.col("ord") == i)
-                    .select(
-                        "docid",
-                        *(["fnid"] if i == 0 else []),
-                        F.array_distinct(
-                            F.transform("positions", shifted_by(offsets[i]))
-                        ).alias(f"shift_{i}"),
-                    )
-                )
-                if joined is None:
-                    joined = fi
-                    inter = F.col("shift_0")
-                else:
-                    joined = joined.join(fi, on="docid", how="inner")
-                    inter = F.array_intersect(inter, F.col(f"shift_{i}"))
+            grouped = rows.groupBy("docid").agg(
+                F.first(
+                    F.when(F.col("ord") == 0, F.col("fnid")), ignorenulls=True
+                ).alias("fnid"),
+                *[
+                    F.first(
+                        F.when(
+                            F.col("ord") == i,
+                            F.array_distinct(
+                                F.transform("positions", shifted_by(offsets[i]))
+                            ),
+                        ),
+                        ignorenulls=True,
+                    ).alias(f"shift_{i}")
+                    for i in range(n_terms)
+                ],
+            )
+            # docs missing any member term (or any member's positions)
+            # can never phrase-match — the inner join dropped them via
+            # the join itself; here the null shift column marks them
+            present = F.col("shift_0").isNotNull()
+            inter = F.col("shift_0")
+            for i in range(1, n_terms):
+                present = present & F.col(f"shift_{i}").isNotNull()
+                inter = F.array_intersect(inter, F.col(f"shift_{i}"))
             cand = (
-                joined.select(
-                    "docid", "fnid", F.size(inter).alias("freq")
-                )
+                grouped.where(present)
+                .select("docid", "fnid", F.size(inter).alias("freq"))
                 .where(F.col("freq") > 0)
                 .select(
                     F.lit(leaf.leaf_id).alias("leaf_id"),
