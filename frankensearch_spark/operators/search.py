@@ -1133,8 +1133,26 @@ class SearchEngine:
         # (plans/eval.py::compile_tree_columns — the bit-exact mirror of
         # evaluate_tree, which remains the oracle's evaluator).  The whole
         # combine stays inside whole-stage codegen; no Python workers.
+        #
+        # Hand-rolled pivot: DataFrame.pivot() plans TWO aggregations —
+        # a pre-agg keyed (docid, leaf_id) with its own Exchange, then
+        # the pivotfirst agg keyed docid with a SECOND Exchange
+        # (plans/r06/bm25_scored_multi_term_{before,after}.txt).  Every
+        # leaf frame emits at most one row per docid (the invariant
+        # first() already leans on), so the pre-agg deduplicates nothing;
+        # first(when(leaf_id == lid, score)) per leaf produces the same
+        # columns — null for a leaf the doc didn't match, the leaf's one
+        # score otherwise — in ONE aggregation with ONE Exchange.
         leaf_ids = [l.leaf_id for l in plan.leaves]
-        pivoted = cand.groupBy("docid").pivot("leaf_id", leaf_ids).agg(F.first("score"))
+        pivoted = cand.groupBy("docid").agg(
+            *[
+                F.first(
+                    F.when(F.col("leaf_id") == lid, F.col("score")),
+                    ignorenulls=True,
+                ).alias(str(lid))
+                for lid in leaf_ids
+            ]
+        )
         # the compiled tree depends only on the spec SHAPE (leaf ids +
         # boost factors), which repeats across queries with different
         # terms — cache the Column pair per canonical spec
