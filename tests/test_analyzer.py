@@ -56,3 +56,48 @@ def test_batch_matches_single():
 def test_batch_positions_are_indexes():
     row = tokenize_batch(["one two three"])[0]
     assert row == ["one", "two", "three"]
+
+
+def test_batch_ascii_fast_path_matches_regex_path():
+    """The ASCII translate+split fast path must be row-identical to the
+    regex+per-token path it bypasses (randomized + adversarial cases)."""
+    import random
+    import re
+
+    from frankensearch_spark.functions.analyze import MAX_TERM_BYTES, _TOKEN_RE
+
+    def regex_path(texts):
+        out = []
+        admit = MAX_TERM_BYTES // 4
+        for text in texts:
+            if not text:
+                out.append([])
+                continue
+            raw = _TOKEN_RE.findall(text)
+            row = [None] * len(raw)
+            for i, tok in enumerate(raw):
+                low = tok.lower()
+                if len(low) <= admit or len(low.encode("utf-8")) <= MAX_TERM_BYTES:
+                    row[i] = low
+            out.append(row)
+        return out
+
+    rng = random.Random(1234)
+    alphabet = "abcXYZ019 _-./!~\t\n"
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 200)))
+        for _ in range(500)
+    ]
+    cases += [
+        "",
+        "   ",
+        "_",
+        "a",
+        "A" * 100,
+        "pol-358 src/main.rs",
+        "MiXeD CaSe W3 w3",
+        "x" * (MAX_TERM_BYTES + 10),  # overlong: takes the regex path
+        "Grüße W47",  # non-ASCII: takes the regex path
+        "0" * 65530,  # exactly at the cap: fast path, single admitted token
+    ]
+    assert tokenize_batch(cases) == regex_path(cases)
